@@ -1,0 +1,177 @@
+"""Conformer block (flax) — the TSCB workhorse.
+
+Re-designed from the reference's vendored lucidrains conformer
+(models/conformer.py): FF(0.5) -> MHSA with Shaw relative positions ->
+conv module (pointwise x2 -> GLU -> depthwise k=31 -> BatchNorm -> swish
+-> pointwise) -> FF(0.5) -> post-LayerNorm, residual around each.
+
+TPU notes:
+* sequences here are short (time ~161 frames / freq 101 bins, batch-folded
+  by TSCB), so attention is a pair of small batched matmuls — ideal MXU
+  shapes after folding;
+* the Shaw relative-position logits use a gather-free formulation: since
+  seq_len < max_pos_emb for every config, ``dist + max_pos`` indexes a
+  contiguous (2n-1) slice of the table, and the (i, j) -> (i - j) banding
+  is realized with a static take_along_axis over precomputed indices;
+* BatchNorm runs on global batch statistics: under pjit-sharded data
+  parallelism jnp reductions over the folded batch axis are global, which
+  reproduces the reference's SyncBatchNorm (main_gan.py:154-155) for free.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_enhancement_tpu.models.layers import (
+    bias_init_001,
+    kaiming_normal_init,
+    swish,
+)
+
+
+class FeedForward(nn.Module):
+    """LayerNorm -> Dense(4x) -> swish -> dropout -> Dense -> dropout
+    (conformer.py:128-145, pre-norm + 0.5 scale applied by caller)."""
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.LayerNorm()(x)
+        x = nn.Dense(self.dim * self.mult, kernel_init=kaiming_normal_init(),
+                     bias_init=bias_init_001)(x)
+        x = swish(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.dim, kernel_init=kaiming_normal_init(),
+                     bias_init=bias_init_001)(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class ShawAttention(nn.Module):
+    """MHSA with Shaw relative positional embeddings
+    (conformer.py:74-125), pre-norm applied by caller."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 16
+    dropout: float = 0.0
+    max_pos_emb: int = 512
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+        inner = h * d
+        scale = d**-0.5
+
+        q = nn.Dense(inner, use_bias=False, kernel_init=kaiming_normal_init(),
+                     name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=False, kernel_init=kaiming_normal_init(),
+                      name="to_kv")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+
+        # Shaw relative positions: logits[i, j] += q_i . E[clip(i-j)]
+        table = self.param(
+            "rel_pos_emb",
+            nn.initializers.normal(1.0),
+            (2 * self.max_pos_emb + 1, d),
+        )
+        # distances i-j span [-(n-1), n-1]; clip handled by construction when
+        # n <= max_pos_emb + 1, else clamp indices.
+        offsets = np.arange(-(n - 1), n)
+        offsets = np.clip(offsets, -self.max_pos_emb, self.max_pos_emb)
+        band = jnp.asarray(table)[offsets + self.max_pos_emb]  # [2n-1, d]
+        # pos_logits[i, r] = q_i . band[r]; then map (i, j) -> r = (i - j) + n - 1
+        pos_logits = jnp.einsum("bhid,rd->bhir", q, band.astype(q.dtype)) * scale
+        gather_idx = np.arange(n)[:, None] - np.arange(n)[None, :] + n - 1  # [n, n]
+        gather_idx = jnp.asarray(gather_idx[None, None], jnp.int32)
+        pos_attn = jnp.take_along_axis(
+            pos_logits, jnp.broadcast_to(gather_idx, (b, h, n, n)), axis=-1
+        )
+        dots = dots + pos_attn
+
+        attn = jax.nn.softmax(dots, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = nn.Dense(self.dim, kernel_init=kaiming_normal_init(),
+                       bias_init=bias_init_001, name="to_out")(out)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+
+class ConvModule(nn.Module):
+    """Conformer convolution module (conformer.py:148-175):
+    LayerNorm -> pointwise (2*expansion) -> GLU -> depthwise k=31 ->
+    BatchNorm -> swish -> pointwise -> dropout.  Operates on [B, N, C]."""
+
+    dim: int
+    expansion_factor: int = 2
+    kernel_size: int = 31
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        inner = self.dim * self.expansion_factor
+        x = nn.LayerNorm()(x)
+        x = nn.Conv(inner * 2, (1,), kernel_init=kaiming_normal_init(),
+                    bias_init=bias_init_001)(x)
+        a, g = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(g)
+        pad = self.kernel_size // 2
+        x = nn.Conv(
+            inner,
+            (self.kernel_size,),
+            padding=[(pad, pad - (self.kernel_size + 1) % 2)],
+            feature_group_count=inner,
+            kernel_init=kaiming_normal_init(),
+            bias_init=bias_init_001,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=deterministic, momentum=0.9, epsilon=1e-5
+        )(x)
+        x = swish(x)
+        x = nn.Conv(self.dim, (1,), kernel_init=kaiming_normal_init(),
+                    bias_init=bias_init_001)(x)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class ConformerBlock(nn.Module):
+    """Full block (conformer.py:180-212): residuals around each sub-module,
+    half-scaled feedforwards, trailing LayerNorm."""
+
+    dim: int
+    dim_head: int = 16
+    heads: int = 4
+    ff_mult: int = 4
+    conv_expansion_factor: int = 2
+    conv_kernel_size: int = 31
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    conv_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = 0.5 * FeedForward(self.dim, self.ff_mult, self.ff_dropout, name="ff1")(
+            x, deterministic
+        ) + x
+        x = ShawAttention(
+            self.dim, self.heads, self.dim_head, self.attn_dropout, name="attn"
+        )(x, deterministic) + x
+        x = ConvModule(
+            self.dim, self.conv_expansion_factor, self.conv_kernel_size,
+            self.conv_dropout, name="conv",
+        )(x, deterministic) + x
+        x = 0.5 * FeedForward(self.dim, self.ff_mult, self.ff_dropout, name="ff2")(
+            x, deterministic
+        ) + x
+        return nn.LayerNorm()(x)

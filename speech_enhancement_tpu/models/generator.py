@@ -1,0 +1,209 @@
+"""TSCNet — the CMGAN/SCP-GAN conformer generator (flax, channels-last).
+
+Re-design of reference models/generator.py.  Tensors flow as
+``[B, T, F, C]`` (time, frequency, channels-last) rather than torch's
+``[B, C, T, F]``: channels-last keeps every conv in XLA's native NHWC
+lowering and makes the TSCB batch-folds (fold F into batch for the time
+conformer, fold T for the freq conformer) pure reshapes.
+
+Input/output interface: the model consumes a complex spectrogram
+``[B, T, F]`` (power-compressed by the caller) and emits
+``(final_real, final_imag)`` each ``[B, T, F]`` — the mask-decoded
+magnitude recombined with noisy phase plus the complex-residual decoder
+(generator.py:145-166).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_tpu.models.conformer import ConformerBlock
+from speech_enhancement_tpu.models.layers import (
+    InstanceNorm,
+    PReLU,
+    bias_init_001,
+    kaiming_normal_init,
+)
+
+
+def conv2d(features, kernel_size, strides=(1, 1), padding="VALID", name=None):
+    return nn.Conv(
+        features,
+        kernel_size,
+        strides=strides,
+        padding=padding,
+        kernel_init=kaiming_normal_init(),
+        bias_init=bias_init_001,
+        name=name,
+    )
+
+
+class DilatedDenseNet(nn.Module):
+    """4-layer densely-connected block, time-dilated (2^i) with causal time
+    padding — pad (pad_len, 0) on T, (1, 1) on F, kernel (2, 3)
+    (generator.py:6-32)."""
+
+    depth: int = 4
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        skip = x
+        out = x
+        for i in range(self.depth):
+            dil = 2**i
+            pad_len = 2 + (dil - 1) - 1  # twidth + (dil-1)*(twidth-1) - 1
+            y = jnp.pad(skip, ((0, 0), (pad_len, 0), (1, 1), (0, 0)))
+            y = nn.Conv(
+                self.channels,
+                (2, 3),
+                kernel_dilation=(dil, 1),
+                padding="VALID",
+                kernel_init=kaiming_normal_init(),
+                bias_init=bias_init_001,
+                name=f"conv{i + 1}",
+            )(y)
+            y = InstanceNorm(name=f"norm{i + 1}")(y)
+            out = PReLU(self.channels, name=f"prelu{i + 1}")(y)
+            skip = jnp.concatenate([out, skip], axis=-1)
+        return out
+
+
+class DenseEncoder(nn.Module):
+    """1x1 conv -> DilatedDenseNet -> (1,3) conv stride (1,2) halving F
+    (generator.py:35-54)."""
+
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv2d(self.channels, (1, 1), name="conv1")(x)
+        x = InstanceNorm(name="norm1")(x)
+        x = PReLU(self.channels, name="prelu1")(x)
+        x = DilatedDenseNet(4, self.channels, name="dense")(x)
+        x = conv2d(
+            self.channels, (1, 3), strides=(1, 2),
+            padding=((0, 0), (1, 1)), name="conv2",
+        )(x)
+        x = InstanceNorm(name="norm2")(x)
+        x = PReLU(self.channels, name="prelu2")(x)
+        return x
+
+
+class TSCB(nn.Module):
+    """Two-stage conformer: time conformer over [B*F, T, C], then freq
+    conformer over [B*T, F, C]; residual around each (generator.py:57-74)."""
+
+    channels: int = 64
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, t, f, c = x.shape
+        x_t = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
+        x_t = (
+            ConformerBlock(
+                dim=c, dim_head=c // 4, heads=4,
+                attn_dropout=self.dropout, ff_dropout=self.dropout,
+                name="time_conformer",
+            )(x_t, deterministic)
+            + x_t
+        )
+        x_f = x_t.reshape(b, f, t, c).transpose(0, 2, 1, 3).reshape(b * t, f, c)
+        x_f = (
+            ConformerBlock(
+                dim=c, dim_head=c // 4, heads=4,
+                attn_dropout=self.dropout, ff_dropout=self.dropout,
+                name="freq_conformer",
+            )(x_f, deterministic)
+            + x_f
+        )
+        return x_f.reshape(b, t, f, c)
+
+
+class SPConvTranspose2d(nn.Module):
+    """Sub-pixel upsampler along F: conv to r*channels then interleave
+    (generator.py:77-92)."""
+
+    features: int
+    kernel_size: tuple = (1, 3)
+    r: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, f, _ = x.shape
+        y = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        y = conv2d(self.features * self.r, self.kernel_size, name="conv")(y)
+        f2 = y.shape[2]
+        # channel blocks of size `features` are the r sub-pixel phases; merging
+        # (F, r) F-major interleaves them along frequency (generator.py:88-91).
+        y = y.reshape(b, t, f2, self.r, self.features)
+        return y.reshape(b, t, f2 * self.r, self.features)
+
+
+class MaskDecoder(nn.Module):
+    """Dense block -> sub-pixel x2 F-upsample -> conv to 1ch -> norm/PReLU
+    -> 1x1 conv -> per-frequency PReLU(init=-0.25) magnitude mask
+    (generator.py:95-112).  Output [B, T, F]."""
+
+    num_features: int = 201
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = DilatedDenseNet(4, self.channels, name="dense")(x)
+        x = SPConvTranspose2d(self.channels, (1, 3), r=2, name="sub_pixel")(x)
+        x = conv2d(1, (1, 2), name="conv1")(x)
+        x = PReLU(1, name="prelu")(InstanceNorm(name="norm")(x))
+        x = conv2d(1, (1, 1), name="final_conv")(x)
+        x = x[..., 0]  # [B, T, F]
+        return PReLU(self.num_features, init=-0.25, name="prelu_out")(x)
+
+
+class ComplexDecoder(nn.Module):
+    """Dense block -> sub-pixel -> norm/PReLU -> conv to 2ch (re, im)
+    (generator.py:115-129).  Output [B, T, F, 2]."""
+
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = DilatedDenseNet(4, self.channels, name="dense")(x)
+        x = SPConvTranspose2d(self.channels, (1, 3), r=2, name="sub_pixel")(x)
+        x = PReLU(self.channels, name="prelu")(InstanceNorm(name="norm")(x))
+        x = conv2d(2, (1, 2), name="conv")(x)
+        return x
+
+
+class TSCNet(nn.Module):
+    """CMGAN generator (generator.py:132-166).
+
+    ``__call__(spec)`` with complex ``spec [B, T, F]`` returns
+    ``(final_real, final_imag)`` each ``[B, T, F]``.
+    """
+
+    num_channel: int = 64
+    num_features: int = 201
+
+    @nn.compact
+    def __call__(self, spec, deterministic: bool = True):
+        mag = jnp.abs(spec)
+        phase = jnp.angle(spec)
+        x_in = jnp.stack([mag, jnp.real(spec), jnp.imag(spec)], axis=-1)
+
+        out = DenseEncoder(self.num_channel, name="dense_encoder")(x_in)
+        out = TSCB(self.num_channel, name="tscb1")(out, deterministic)
+        out = TSCB(self.num_channel, name="tscb2")(out, deterministic)
+        out = TSCB(self.num_channel, name="tscb3")(out, deterministic)
+        out = TSCB(self.num_channel, name="tscb4")(out, deterministic)
+
+        mask = MaskDecoder(self.num_features, self.num_channel,
+                           name="mask_decoder")(out)
+        out_mag = mask * mag
+
+        complex_out = ComplexDecoder(self.num_channel, name="complex_decoder")(out)
+        final_real = out_mag * jnp.cos(phase) + complex_out[..., 0]
+        final_imag = out_mag * jnp.sin(phase) + complex_out[..., 1]
+        return final_real, final_imag

@@ -1,0 +1,29 @@
+from speech_enhancement_tpu.ops.stft import (
+    compressed_stft,
+    disassemble_spectrogram,
+    frame_signal,
+    hamming_window,
+    istft,
+    normalize_batch,
+    overlap_add,
+    pack_spec_channels,
+    power_compress,
+    power_uncompress,
+    stft,
+    uncompressed_istft,
+)
+
+__all__ = [
+    "compressed_stft",
+    "disassemble_spectrogram",
+    "frame_signal",
+    "hamming_window",
+    "istft",
+    "normalize_batch",
+    "overlap_add",
+    "pack_spec_channels",
+    "power_compress",
+    "power_uncompress",
+    "stft",
+    "uncompressed_istft",
+]

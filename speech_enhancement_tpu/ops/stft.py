@@ -1,0 +1,259 @@
+"""Device-resident STFT / iSTFT featurization for TPU.
+
+Re-designs the reference's torch.stft / torch.istft featurization path
+(reference: core/function.py:625-703) as MXU-friendly real matmuls:
+
+* framing is done with contiguous hop-block slicing (no gather) when
+  ``n_fft % hop == 0`` (the reference config: n_fft=400, hop=100),
+* the DFT is a single ``[B*T, n_fft] @ [n_fft, 2*F]`` real matmul that XLA
+  tiles onto the systolic array (TPU FFTs for tiny sizes are slower than a
+  dense matmul),
+* the inverse is the transposed matmul followed by a static-unrolled
+  overlap-add (4 shifted slice-adds, no scatter).
+
+Semantics match ``torch.stft(x, n_fft, hop, window=hamming, onesided=True,
+center=True, pad_mode='reflect', return_complex=True)`` and the matching
+``torch.istft`` (window-sum-square normalized overlap-add, center trim),
+which is what the reference calls in every train/eval step
+(core/function.py:690, :701).  Everything is differentiable — the SCP
+consistency losses round-trip istft -> stft (core/function.py:231-254).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "hamming_window",
+    "stft",
+    "istft",
+    "power_compress",
+    "power_uncompress",
+    "compressed_stft",
+    "uncompressed_istft",
+    "normalize_batch",
+    "disassemble_spectrogram",
+    "pack_spec_channels",
+]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def hamming_window(n_fft: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hamming window, identical to ``torch.hamming_window(n_fft)``."""
+    k = np.arange(n_fft)
+    w = 0.54 - 0.46 * np.cos(2.0 * np.pi * k / n_fft)
+    return jnp.asarray(w, dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int):
+    """Forward real-DFT basis [n_fft, F] pair (cos, -sin) as float64 numpy."""
+    n = np.arange(n_fft)[:, None]
+    f = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * f / n_fft
+    return np.cos(ang), -np.sin(ang)
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_matrices(n_fft: int):
+    """Inverse real-DFT basis [F, n_fft] pair st. frame = re@C + im@S."""
+    nfreq = n_fft // 2 + 1
+    f = np.arange(nfreq)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * f * n / n_fft
+    # onesided spectrum weights: DC and Nyquist count once, the rest twice
+    w = np.full((nfreq, 1), 2.0)
+    w[0, 0] = 1.0
+    w[-1, 0] = 1.0
+    c = w * np.cos(ang) / n_fft
+    s = -w * np.sin(ang) / n_fft
+    return c, s
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Slice ``[B, L]`` (already padded) into overlapping ``[B, T, n_fft]`` frames.
+
+    Uses hop-block decomposition when hop divides n_fft so every slice is
+    contiguous; falls back to a gather otherwise.
+    """
+    b, length = x.shape
+    n_frames = 1 + (length - n_fft) // hop
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        blocks = x[:, : (n_frames + r - 1) * hop].reshape(b, n_frames + r - 1, hop)
+        parts = [blocks[:, k : k + n_frames, :] for k in range(r)]
+        return jnp.concatenate(parts, axis=2)
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return x[:, idx]
+
+
+def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add ``[B, T, n_fft]`` frames at stride ``hop`` -> ``[B, L]``.
+
+    Static unrolled slice-adds (r = n_fft//hop iterations) — no scatter, so
+    XLA lowers this to dense vector adds.
+    """
+    b, n_frames, n_fft = frames.shape
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        parts = frames.reshape(b, n_frames, r, hop)
+        out = jnp.zeros((b, n_frames + r - 1, hop), frames.dtype)
+        for k in range(r):
+            out = out.at[:, k : k + n_frames].add(parts[:, :, k])
+        return out.reshape(b, (n_frames + r - 1) * hop)
+    length = n_fft + hop * (n_frames - 1)
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    out = jnp.zeros((b, length), frames.dtype)
+    return out.at[:, idx].add(frames)
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = 400,
+    hop: int = 100,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT of ``[B, L]`` -> ``[B, T, F]`` (time-major, freq-last).
+
+    Note the layout differs from torch's ``[B, F, T]``: time-major frames keep
+    the conformer's batch-folded axial reshapes contiguous on TPU.
+    """
+    if x.ndim == 1:
+        x = x[None]
+    if window is None:
+        window = hamming_window(n_fft, x.dtype)
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_signal(x, n_fft, hop) * window
+    cos_m, msin_m = _dft_matrices(n_fft)
+    cos_m = jnp.asarray(cos_m, x.dtype)
+    msin_m = jnp.asarray(msin_m, x.dtype)
+    re = jnp.matmul(frames, cos_m, precision=_HIGHEST)
+    im = jnp.matmul(frames, msin_m, precision=_HIGHEST)
+    return jax.lax.complex(re, im)
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = 400,
+    hop: int = 100,
+    window: jnp.ndarray | None = None,
+    length: int | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Inverse STFT of ``[B, T, F]`` -> ``[B, L]`` matching torch.istft.
+
+    Window-sum-square normalized overlap-add; with ``center=True`` trims
+    n_fft//2 from each edge (default output length = hop * (T - 1)).
+    """
+    re = jnp.real(spec)
+    im = jnp.imag(spec)
+    b, n_frames, _ = re.shape
+    if window is None:
+        window = hamming_window(n_fft, re.dtype)
+    c_inv, s_inv = _idft_matrices(n_fft)
+    c_inv = jnp.asarray(c_inv, re.dtype)
+    s_inv = jnp.asarray(s_inv, re.dtype)
+    frames = jnp.matmul(re, c_inv, precision=_HIGHEST) + jnp.matmul(
+        im, s_inv, precision=_HIGHEST
+    )
+    frames = frames * window
+    sig = overlap_add(frames, hop)
+    wsq = jnp.broadcast_to((window * window)[None, None, :], (1, n_frames, n_fft))
+    env = overlap_add(wsq, hop)
+    env = jnp.where(env > 1e-11, env, 1.0)
+    sig = sig / env
+    if center:
+        pad = n_fft // 2
+        sig = sig[:, pad : sig.shape[1] - pad]
+    if length is not None:
+        sig = sig[:, :length]
+    return sig
+
+
+def power_compress(spec: jnp.ndarray, comp_type: str | None = "pow") -> jnp.ndarray:
+    """Magnitude compression in the complex domain (function.py:625-634).
+
+    ``pow``: mag^0.3, ``log``: log1p(mag), ``norm``/``none``: identity.
+    """
+    if comp_type not in ("pow", "log"):
+        return spec
+    mag = jnp.abs(spec)
+    if comp_type == "pow":
+        new_mag = mag**0.3
+    else:
+        new_mag = jnp.log1p(mag)
+    scale = jnp.where(mag > 0.0, new_mag / jnp.where(mag > 0.0, mag, 1.0), 0.0)
+    return spec * scale
+
+
+def power_uncompress(spec: jnp.ndarray, comp_type: str | None = "pow") -> jnp.ndarray:
+    """Inverse of :func:`power_compress` (function.py:636-645)."""
+    if comp_type not in ("pow", "log"):
+        return spec
+    mag = jnp.abs(spec)
+    if comp_type == "pow":
+        new_mag = mag ** (1.0 / 0.3)
+    else:
+        new_mag = jnp.expm1(mag)
+    scale = jnp.where(mag > 0.0, new_mag / jnp.where(mag > 0.0, mag, 1.0), 0.0)
+    return spec * scale
+
+
+def compressed_stft(
+    signal: jnp.ndarray,
+    n_fft: int = 400,
+    hop: int = 100,
+    window: jnp.ndarray | None = None,
+    comp_type: str = "pow",
+) -> jnp.ndarray:
+    """STFT followed by magnitude compression (function.py:685-693).
+
+    ``comp_type='norm'`` applies torch's normalized=True scaling (1/sqrt(N)).
+    """
+    spec = stft(signal, n_fft, hop, window)
+    if comp_type == "norm":
+        spec = spec / jnp.sqrt(jnp.asarray(n_fft, jnp.real(spec).dtype))
+    return power_compress(spec, comp_type)
+
+
+def uncompressed_istft(
+    spec: jnp.ndarray,
+    n_fft: int = 400,
+    hop: int = 100,
+    window: jnp.ndarray | None = None,
+    comp_type: str = "pow",
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Magnitude uncompression followed by iSTFT (function.py:695-703)."""
+    spec = power_uncompress(spec, comp_type)
+    if comp_type == "norm":
+        spec = spec * jnp.sqrt(jnp.asarray(n_fft, jnp.real(spec).dtype))
+    return istft(spec, n_fft, hop, window, length=length)
+
+
+def normalize_batch(clean: jnp.ndarray, noisy: jnp.ndarray):
+    """Per-utterance RMS gain c = sqrt(L / sum(noisy^2)) applied to both
+    signals (function.py:647-659).  Returns (clean*c, noisy*c, c)."""
+    c = jnp.sqrt(noisy.shape[-1] / jnp.sum(noisy**2.0, axis=-1, keepdims=True))
+    return clean * c, noisy * c, c
+
+
+def disassemble_spectrogram(spec: jnp.ndarray):
+    """(mag, real, imag) triple of a complex spectrogram (function.py:661-662)."""
+    return jnp.abs(spec), jnp.real(spec), jnp.imag(spec)
+
+
+def pack_spec_channels(spec: jnp.ndarray) -> jnp.ndarray:
+    """Pack a complex ``[B, T, F]`` spectrogram into the generator's
+    channels-last ``[B, T, F, 3]`` (mag, real, imag) input
+    (reference: models/generator.py:146-151, NCHW there; NHWC here)."""
+    mag, re, im = disassemble_spectrogram(spec)
+    return jnp.stack([mag, re, im], axis=-1)

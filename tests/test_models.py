@@ -1,0 +1,110 @@
+"""Shape/dtype/finite/grad tests for the model families (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.models import Discriminator, TSCNet
+from speech_enhancement_tpu.ops import compressed_stft
+
+B, T, F = 2, 161, 201
+
+
+@pytest.fixture(scope="module")
+def tscnet_and_params():
+    model = TSCNet(num_channel=16, num_features=F)
+    spec = compressed_stft(jnp.ones((B, 16000)), 400, 100)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec,
+        deterministic=True,
+    )
+    return model, variables, spec
+
+
+def test_tscnet_shapes(tscnet_and_params):
+    model, variables, spec = tscnet_and_params
+    re, im = model.apply(variables, spec, deterministic=True)
+    assert re.shape == (B, T, F)
+    assert im.shape == (B, T, F)
+    assert np.all(np.isfinite(np.asarray(re)))
+    assert np.all(np.isfinite(np.asarray(im)))
+
+
+def test_tscnet_batchnorm_state(tscnet_and_params):
+    model, variables, spec = tscnet_and_params
+    assert "batch_stats" in variables
+    (re, im), updates = model.apply(
+        variables,
+        spec,
+        deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert "batch_stats" in updates
+
+
+def test_tscnet_grad_flows(tscnet_and_params):
+    model, variables, spec = tscnet_and_params
+
+    def loss(params):
+        re, im = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            spec,
+            deterministic=True,
+        )
+        return jnp.mean(re**2) + jnp.mean(im**2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in leaves)
+
+
+def test_discriminator_output_range(rng):
+    model = Discriminator(ndf=8)
+    x = jnp.asarray(rng.random((B, T, F)).astype(np.float32))
+    y = jnp.asarray(rng.random((B, T, F)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, y
+    )
+    out = model.apply(variables, x, y, deterministic=True)
+    assert out.shape == (B, 1)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) <= 1))
+
+
+def test_discriminator_spectral_state_updates(rng):
+    model = Discriminator(ndf=8)
+    x = jnp.asarray(rng.random((B, T, F)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, x
+    )
+    assert "spectral" in variables
+    out, updates = model.apply(
+        variables,
+        x,
+        x,
+        deterministic=False,
+        update_stats=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["spectral"],
+    )
+    before = jax.tree_util.tree_leaves(variables["spectral"])
+    after = jax.tree_util.tree_leaves(updates["spectral"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+
+
+def test_param_count_tscnet_full():
+    """Full-size TSCNet should be ~1.8M params like the reference CMGAN."""
+    model = TSCNet(num_channel=64, num_features=F)
+    spec = compressed_stft(jnp.ones((1, 16000)), 400, 100)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec,
+        deterministic=True,
+    )
+    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    assert 1_000_000 < n < 3_000_000, n
