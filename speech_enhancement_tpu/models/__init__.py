@@ -1,4 +1,10 @@
 from speech_enhancement_tpu.models.conformer import ConformerBlock
+from speech_enhancement_tpu.models.diffuse import (
+    DiffuSE,
+    DiffusionEmbedding,
+    ResidualBlock,
+    SpectrogramUpsampler,
+)
 from speech_enhancement_tpu.models.discriminator import Discriminator
 from speech_enhancement_tpu.models.generator import (
     ComplexDecoder,
@@ -9,8 +15,15 @@ from speech_enhancement_tpu.models.generator import (
     TSCB,
     TSCNet,
 )
+from speech_enhancement_tpu.models.tsc_diffusion import DiffusionTSCNet, MergeBlock
 
 __all__ = [
+    "DiffuSE",
+    "DiffusionEmbedding",
+    "DiffusionTSCNet",
+    "MergeBlock",
+    "ResidualBlock",
+    "SpectrogramUpsampler",
     "ComplexDecoder",
     "ConformerBlock",
     "DenseEncoder",

@@ -1,0 +1,247 @@
+"""Conditional diffusion: forward process, schedules, train/eval losses,
+and the lax.scan reverse sampler.
+
+Re-designs the reference's CDiffuSE math (core/function.py:25-43 forward
+process; inference_diffuse.py:117-189 reverse schedule; :192-269 samplers)
+as pure jittable functions.  The per-utterance reverse loop becomes a
+``lax.scan`` over precomputed per-step coefficient arrays with a
+``jnp.where(n > 0, ...)`` final-step blend — one compiled program instead
+of a Python loop of device round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_enhancement_tpu.ops import (
+    compressed_stft,
+    stft,
+    uncompressed_istft,
+)
+
+
+def linear_noise_schedule(num_steps: int = 50) -> np.ndarray:
+    """beta = linspace(1e-4, 0.035, N) (config/default.py:119)."""
+    return np.linspace(1e-4, 0.035, num_steps)
+
+
+def add_noise(audio, noisy, noise_schedule, rng):
+    """CDiffuSE conditional forward process (function.py:25-43).
+
+    Interpolates clean -> noisy with mass m(t) plus Gaussian noise; returns
+    ``(noisy_audio, combine_noise, t)`` with one uniform random t per sample.
+    """
+    n = audio.shape[0]
+    beta = jnp.asarray(noise_schedule, audio.dtype)
+    noise_level = jnp.cumprod(1.0 - beta)
+    rng_t, rng_n = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (n,), 0, beta.shape[0])
+    noise_scale = noise_level[t][:, None]
+    noise_scale_sqrt = noise_scale**0.5
+    m = (((1.0 - noise_level[t]) / noise_level[t] ** 0.5) ** 0.5)[:, None]
+    noise = jax.random.normal(rng_n, audio.shape, audio.dtype)
+    noisy_audio = (
+        (1.0 - m) * noise_scale_sqrt * audio
+        + m * noise_scale_sqrt * noisy
+        + (1.0 - (1.0 + m**2) * noise_scale) ** 0.5 * noise
+    )
+    combine_noise = (
+        m * noise_scale_sqrt * (noisy - audio)
+        + (1.0 - (1.0 + m**2) * noise_scale) ** 0.5 * noise
+    ) / (1.0 - noise_scale) ** 0.5
+    return noisy_audio, combine_noise, t
+
+
+class ReverseSchedule(NamedTuple):
+    """Per-step reverse-process coefficients, index 0 = first (largest n)
+    sampled step is at the END; arrays indexed by n in [0, N)."""
+
+    alpha: np.ndarray
+    beta: np.ndarray
+    alpha_cum: np.ndarray
+    sigmas: np.ndarray
+    T: np.ndarray  # (possibly fractional) training-timestep map
+    c1: np.ndarray
+    c2: np.ndarray
+    c3: np.ndarray
+    delta: np.ndarray
+    delta_bar: np.ndarray
+
+
+def inference_schedule(
+    noise_schedule, inference_noise_schedule=None, fast: bool = False
+) -> ReverseSchedule:
+    """Host-side reverse-process coefficient computation
+    (inference_diffuse.py:117-189).  Supports the interpolated fast
+    (e.g. 6-step) schedule mapping inference steps onto fractional training
+    timesteps."""
+    training = np.asarray(noise_schedule, np.float64)
+    if fast:
+        assert inference_noise_schedule is not None
+        beta = np.asarray(inference_noise_schedule, np.float64)
+    else:
+        beta = training
+
+    talpha = 1.0 - training
+    talpha_cum = np.cumprod(talpha)
+    alpha = 1.0 - beta
+    alpha_cum = np.cumprod(alpha)
+    n_steps = len(alpha)
+
+    sigmas = np.zeros(n_steps)
+    for n in range(n_steps - 1, -1, -1):
+        sigmas[n] = (1.0 - alpha_cum[n - 1]) / (1.0 - alpha_cum[n]) * beta[n]
+
+    T = []
+    for s in range(n_steps):
+        for t in range(len(training) - 1):
+            if talpha_cum[t + 1] <= alpha_cum[s] <= talpha_cum[t]:
+                twiddle = (talpha_cum[t] ** 0.5 - alpha_cum[s] ** 0.5) / (
+                    talpha_cum[t] ** 0.5 - talpha_cum[t + 1] ** 0.5
+                )
+                T.append(t + twiddle)
+                break
+    T = np.array(T, np.float32)
+
+    m = np.array(
+        [min((1.0 - ac) / ac**0.5, 1.0) ** 0.5 for ac in alpha_cum]
+    )
+    m[-1] = 1.0
+    delta = np.maximum(1.0 - (1.0 + m**2) * alpha_cum, 0.0)
+
+    delta_cond = np.zeros(n_steps)
+    delta_bar = np.zeros(n_steps)
+    c1 = np.zeros(n_steps)
+    c2 = np.zeros(n_steps)
+    c3 = np.zeros(n_steps)
+    for n in range(n_steps):
+        if n > 0:
+            delta_cond[n] = (
+                delta[n] - ((1.0 - m[n]) / (1.0 - m[n - 1])) ** 2 * alpha[n] * delta[n - 1]
+            )
+            delta_bar[n] = delta_cond[n] * delta[n - 1] / delta[n]
+            c1[n] = (1.0 - m[n]) / (1.0 - m[n - 1]) * (delta[n - 1] / delta[n]) * alpha[
+                n
+            ] ** 0.5 + (1.0 - m[n - 1]) * (delta_cond[n] / delta[n]) / alpha[n] ** 0.5
+            c2[n] = (
+                m[n - 1] * delta[n]
+                - (m[n] * (1.0 - m[n])) / (1.0 - m[n - 1]) * alpha[n] * delta[n - 1]
+            ) * (alpha_cum[n - 1] ** 0.5 / delta[n])
+            c3[n] = (
+                (1.0 - m[n - 1])
+                * (delta_cond[n] / delta[n])
+                * (1.0 - alpha_cum[n]) ** 0.5
+                / alpha[n] ** 0.5
+            )
+        else:
+            c1[n] = 1.0 / alpha[n] ** 0.5
+            c3[n] = c1[n] * beta[n] / (1.0 - alpha_cum[n]) ** 0.5
+    return ReverseSchedule(
+        alpha, beta, alpha_cum, sigmas, T,
+        c1.astype(np.float32), c2.astype(np.float32), c3.astype(np.float32),
+        delta.astype(np.float32), delta_bar.astype(np.float32),
+    )
+
+
+def diffuse_train_loss(model, variables, batch_clean, batch_noisy,
+                       noise_schedule, rng, n_fft=400, hop=100):
+    """Waveform DiffuSE training loss (function.py:45-103): uncompressed
+    STFT magnitude-free conditioner of the noisy signal, model predicts the
+    combined noise, criterion applied by caller via returned pair."""
+    # drop the trailing center-pad frame so the upsampled conditioner spans
+    # exactly L = hop * n_frames samples (the reference's integrated waveform
+    # path feeds 161 frames against 16000 samples, which only lines up for
+    # the cdiffuse precomputed-spec pipeline; we make both consistent).
+    spectrogram = jnp.abs(stft(batch_noisy, n_fft, hop))[:, :-1, :]
+    noisy_audio, combine_noise, t = add_noise(
+        batch_clean, batch_noisy, noise_schedule, rng
+    )
+    predicted = model.apply(variables, noisy_audio, spectrogram, t)
+    return predicted, combine_noise
+
+
+def sample_waveform(model, variables, noisy_signal, schedule: ReverseSchedule,
+                    rng, hop=100, n_fft=400, gamma: float = 0.2):
+    """DiffuSE reverse sampler (inference_diffuse.py:192-227) as lax.scan.
+
+    Starts from the (zero-padded) noisy waveform; per-step update
+    x <- c1 x + c2 y - c3 eps_theta + sqrt(delta_bar) z, with the final step
+    dropping the y/noise terms and blending gamma with the noisy signal.
+    """
+    spec = jnp.abs(stft(noisy_signal, n_fft, hop))[:, :-1, :]
+    b = noisy_signal.shape[0]
+    length = hop * spec.shape[1]
+    take = min(noisy_signal.shape[-1], length)
+    noisy_audio = jnp.zeros((b, length), noisy_signal.dtype)
+    noisy_audio = noisy_audio.at[:, :take].set(noisy_signal[:, :take])
+    n_steps = len(schedule.alpha)
+    coeffs = jnp.asarray(
+        np.stack([schedule.c1, schedule.c2, schedule.c3,
+                  schedule.delta_bar, schedule.T]).T.astype(np.float32)
+    )  # [N, 5]
+
+    def body(carry, inp):
+        audio, step_rng = carry
+        n_idx, (c1, c2, c3, dbar, t_frac) = inp
+        step_rng, sub = jax.random.split(step_rng)
+        eps = model.apply(variables, audio, spec, jnp.full((b,), t_frac))
+        noise = jax.random.normal(sub, audio.shape, audio.dtype)
+        nonfinal = c1 * audio + c2 * noisy_audio - c3 * eps + dbar**0.5 * noise
+        final = c1 * audio - c3 * eps
+        final = (1.0 - gamma) * final + gamma * noisy_audio
+        final = jnp.clip(final, -1.0, 1.0)
+        audio = jnp.where(n_idx > 0, nonfinal, final)
+        return (audio, step_rng), None
+
+    steps = (
+        jnp.arange(n_steps - 1, -1, -1),
+        tuple(coeffs[::-1, i] for i in range(5)),
+    )
+    (audio, _), _ = jax.lax.scan(body, (noisy_audio, rng), steps)
+    return audio
+
+
+def sample_tsc(model, variables, noisy_signal, schedule: ReverseSchedule,
+               rng, n_fft=400, hop=100, comp_type="pow", gamma: float = 0.2):
+    """Spectrogram-domain (diffusion TSCNet) reverse sampler
+    (inference_diffuse.py:230-269) as lax.scan.  The caller is responsible
+    for the RMS normalization and hop-multiple padding wrapper."""
+    b = noisy_signal.shape[0]
+    orig_spec = compressed_stft(noisy_signal, n_fft, hop, comp_type=comp_type)
+    noisy_audio = noisy_signal
+    n_steps = len(schedule.alpha)
+    coeffs = jnp.asarray(
+        np.stack([schedule.c1, schedule.c2, schedule.c3,
+                  schedule.delta_bar, schedule.T]).T.astype(np.float32)
+    )
+
+    def body(carry, inp):
+        audio, step_rng = carry
+        n_idx, (c1, c2, c3, dbar, t_frac) = inp
+        step_rng, sub = jax.random.split(step_rng)
+        spec = compressed_stft(audio, n_fft, hop, comp_type=comp_type)
+        re, im = model.apply(
+            variables, spec, orig_spec, jnp.full((b,), t_frac),
+            deterministic=True,
+        )
+        eps = uncompressed_istft(
+            jax.lax.complex(re, im), n_fft, hop, comp_type=comp_type,
+            length=audio.shape[-1],
+        )
+        noise = jax.random.normal(sub, audio.shape, audio.dtype)
+        nonfinal = c1 * audio + c2 * noisy_audio - c3 * eps + dbar**0.5 * noise
+        final = c1 * audio - c3 * eps
+        final = (1.0 - gamma) * final + gamma * noisy_audio
+        audio = jnp.where(n_idx > 0, nonfinal, final)
+        return (audio, step_rng), None
+
+    steps = (
+        jnp.arange(n_steps - 1, -1, -1),
+        tuple(coeffs[::-1, i] for i in range(5)),
+    )
+    (audio, _), _ = jax.lax.scan(body, (noisy_signal, rng), steps)
+    return audio
