@@ -1,0 +1,117 @@
+"""ctypes binding to the native C++ PESQ engine (native/pesq/pesq.cc).
+
+API mirrors the reference's usage surface:
+  * ``pesq(fs, ref, deg, 'wb')`` — drop-in for the `pesq` package call in
+    utils/compute_metrics.py:61 and discriminator.py:19;
+  * ``pesq_loss(clean, noisy)`` — returns -1 on silent/failed input
+    (discriminator.py:17-23), the collator's silence-retry trigger;
+  * ``batch_pesq(clean_list, noisy_list)`` — normalized (pesq-1)/3.5 label
+    batch (discriminator.py:26-32), computed by the C++ thread pool instead
+    of joblib processes.
+
+The shared library is built on demand with make (g++); set
+SE_TPU_PESQ_LIB to override the path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native" / "pesq"
+_LIB_LOCK = threading.Lock()
+_LIB = None
+
+
+def _load_library() -> ctypes.CDLL:
+    global _LIB
+    with _LIB_LOCK:
+        if _LIB is not None:
+            return _LIB
+        lib_path = os.environ.get("SE_TPU_PESQ_LIB")
+        if lib_path is None:
+            lib_path = str(_NATIVE_DIR / "libpesq.so")
+            if not os.path.exists(lib_path):
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                )
+        lib = ctypes.CDLL(lib_path)
+        lib.pesq_mos.restype = ctypes.c_double
+        lib.pesq_mos.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.pesq_batch.restype = None
+        lib.pesq_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _LIB = lib
+        return lib
+
+
+def _as_float32(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x), dtype=np.float32)
+
+
+def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
+    """MOS-LQO of (ref, deg); raises on silent/invalid input like the
+    `pesq` package does (the reference catches this in pesq_loss)."""
+    if mode != "wb":
+        raise ValueError("only wideband ('wb') mode is implemented")
+    ref = _as_float32(ref)
+    deg = _as_float32(deg)
+    lib = _load_library()
+    score = lib.pesq_mos(
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ref.size,
+        deg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), deg.size, int(fs),
+    )
+    if score < 0:
+        raise RuntimeError(f"pesq failed with error code {int(-score)}")
+    return float(score)
+
+
+def pesq_loss(clean, noisy, sr: int = 16000) -> float:
+    """PESQ or -1 on failure (silence) — discriminator.py:17-23."""
+    try:
+        return pesq(sr, clean, noisy, "wb")
+    except Exception:
+        return -1.0
+
+
+def batch_pesq_raw(clean: np.ndarray, noisy: np.ndarray, fs: int = 16000,
+                   n_threads: int = 0) -> np.ndarray:
+    """Raw MOS per pair over equal-length [B, L] batches (C++ thread pool).
+    Failed rows come back as -1."""
+    clean = _as_float32(clean)
+    noisy = _as_float32(noisy)
+    assert clean.shape == noisy.shape and clean.ndim == 2
+    b, length = clean.shape
+    out = np.empty(b, np.float64)
+    lib = _load_library()
+    lib.pesq_batch(
+        clean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        noisy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b, length, int(fs), int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return np.where(out < 0, -1.0, out)
+
+
+def batch_pesq(clean, noisy, fs: int = 16000) -> np.ndarray:
+    """Normalized labels (pesq - 1) / 3.5 (discriminator.py:26-32).
+
+    Silent failures keep the reference behavior: the -1 score flows through
+    the normalization."""
+    clean = np.stack([_as_float32(c) for c in clean])
+    noisy = np.stack([_as_float32(n) for n in noisy])
+    scores = batch_pesq_raw(clean, noisy, fs)
+    return ((scores - 1.0) / 3.5).astype(np.float32)

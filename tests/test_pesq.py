@@ -1,0 +1,114 @@
+"""Native C++ PESQ engine: anchors, monotonicity, robustness, batch API.
+
+The engine is a from-scratch P.862-family implementation (the `pesq` PyPI
+package is not available in this environment); tests pin its calibrated
+behavior: the identical-signal anchor (4.64, the known P.862.2 wideband
+self-score), monotone degradation with SNR, gain invariance, constant-delay
+compensation, and the silence error path the data collator relies on.
+"""
+
+import numpy as np
+import pytest
+from scipy import signal as sps
+
+from speech_enhancement_tpu.metrics.pesq import (
+    batch_pesq,
+    batch_pesq_raw,
+    pesq,
+    pesq_loss,
+)
+
+FS = 16000
+
+
+@pytest.fixture(scope="module")
+def speech():
+    """Formant-filtered pulse-train pseudo-speech with fricative bursts."""
+    rng = np.random.default_rng(3)
+    n = int(FS * 3.0)
+    out = np.zeros(n)
+    tpos = 0
+    while tpos < n - 3200:
+        seg = int(rng.uniform(0.08, 0.25) * FS)
+        if rng.random() < 0.7:
+            f0 = rng.uniform(90, 220)
+            src = np.zeros(seg)
+            src[:: int(FS / f0)] = 1.0
+            src = sps.lfilter([1.0], [1, -0.95], src)
+            for fmt, bw in [
+                (rng.uniform(300, 900), 80),
+                (rng.uniform(900, 2400), 120),
+                (rng.uniform(2300, 3400), 180),
+            ]:
+                r = np.exp(-np.pi * bw / FS)
+                th = 2 * np.pi * fmt / FS
+                src = sps.lfilter([1.0], [1, -2 * r * np.cos(th), r * r], src)
+        else:
+            src = rng.standard_normal(seg)
+            src = sps.lfilter(
+                *sps.butter(2, [2000 / (FS / 2), 7000 / (FS / 2)], "band"), src
+            ) * 0.3
+        out[tpos : tpos + seg] += src * np.hanning(seg)
+        tpos += int(seg * rng.uniform(0.8, 1.3))
+    return (out / np.max(np.abs(out)) * 0.5).astype(np.float32)
+
+
+def test_identical_signal_anchor(speech):
+    np.testing.assert_allclose(pesq(FS, speech, speech), 4.6439, atol=0.005)
+
+
+def test_monotone_in_snr(speech):
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal(len(speech)).astype(np.float32)
+    rms = np.sqrt(np.mean(speech**2))
+    scores = []
+    for snr_db in [40, 30, 20, 10, 0]:
+        sigma = rms / 10 ** (snr_db / 20)
+        scores.append(pesq(FS, speech, speech + sigma * noise))
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 3.8  # 40 dB barely audible
+    assert scores[-1] < 1.6  # 0 dB severely degraded
+
+
+def test_gain_invariance(speech):
+    """Level alignment cancels pure gain differences."""
+    assert pesq(FS, speech, 0.3 * speech) > 4.6
+    assert pesq(FS, speech, 1.8 * speech) > 4.6
+
+
+def test_constant_delay_compensation(speech):
+    delayed = np.concatenate([np.zeros(800, np.float32), speech])[: len(speech)]
+    assert pesq(FS, speech, delayed) > 4.5
+
+
+def test_silence_raises_and_pesq_loss(speech):
+    with pytest.raises(RuntimeError):
+        pesq(FS, np.zeros(FS, np.float32), np.zeros(FS, np.float32))
+    assert pesq_loss(np.zeros(FS), np.zeros(FS)) == -1.0
+    assert pesq_loss(speech, speech) > 4.6
+
+
+def test_wrong_mode_and_short_input(speech):
+    with pytest.raises(ValueError):
+        pesq(FS, speech, speech, "nb")
+    with pytest.raises(RuntimeError):
+        pesq(FS, speech[:100], speech[:100])
+
+
+def test_batch_matches_single(speech):
+    rng = np.random.default_rng(5)
+    noisy = speech + 0.01 * rng.standard_normal(len(speech)).astype(np.float32)
+    clean = np.stack([speech, speech])
+    deg = np.stack([speech, noisy])
+    out = batch_pesq_raw(clean, deg)
+    np.testing.assert_allclose(out[0], pesq(FS, speech, speech), atol=1e-9)
+    np.testing.assert_allclose(out[1], pesq(FS, speech, noisy), atol=1e-9)
+
+
+def test_batch_pesq_normalization(speech):
+    """(pesq - 1) / 3.5 labels; silent rows -> (-1-1)/3.5 like the
+    reference's passthrough (discriminator.py:29-31)."""
+    labels = batch_pesq([speech, np.zeros(len(speech), np.float32)],
+                        [speech, np.zeros(len(speech), np.float32)])
+    np.testing.assert_allclose(labels[0], (4.6439 - 1) / 3.5, atol=0.005)
+    np.testing.assert_allclose(labels[1], (-1 - 1) / 3.5, atol=1e-6)
