@@ -1,0 +1,61 @@
+"""Checkpoint / resume (orbax).
+
+Replaces torch.save dict checkpoints (main_gan.py:300-310,
+utils/utils.py:68-75): saves the full train-state pytree per epoch under
+``checkpoint_EEEE`` plus a ``model_best`` copy on improvement, and restores
+params + optimizer states + counters for --resume.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    state: Any,
+    path: str,
+    epoch: int,
+    is_best: bool = False,
+    keep_name: str = "model_best",
+) -> str:
+    """Save ``state`` (any pytree) to <path>/checkpoint_<epoch>; copy to
+    <path>/model_best when is_best (utils.py:68-75 semantics)."""
+    path = Path(path).resolve()
+    path.mkdir(parents=True, exist_ok=True)
+    target = path / f"checkpoint_{epoch:04d}"
+    if target.exists():
+        shutil.rmtree(target)
+    ckptr = _checkpointer()
+    ckptr.save(target, state)
+    ckptr.wait_until_finished()
+    if is_best:
+        best = path / keep_name
+        if best.exists():
+            shutil.rmtree(best)
+        shutil.copytree(target, best)
+    return str(target)
+
+
+def load_checkpoint(path: str, template: Any) -> Any:
+    """Restore a pytree saved by :func:`save_checkpoint`.  ``template``
+    provides the structure/dtypes (the freshly-initialized state)."""
+    ckptr = _checkpointer()
+    return ckptr.restore(Path(path).resolve(), template)
+
+
+def latest_checkpoint(path: str) -> str | None:
+    p = Path(path)
+    if not p.exists():
+        return None
+    cands = sorted(d for d in os.listdir(p) if d.startswith("checkpoint_"))
+    return str(p / cands[-1]) if cands else None

@@ -1,0 +1,156 @@
+"""Data pipeline + config tree tests (uses tiny synthetic wav fixtures)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.config import load_config
+from speech_enhancement_tpu.data import (
+    Collator,
+    DataLoader,
+    VoicebankDataset,
+    load_wav,
+    save_wav,
+)
+
+
+@pytest.fixture(scope="module")
+def wav_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vb")
+    clean_dir = root / "clean"
+    noisy_dir = root / "noisy"
+    clean_dir.mkdir()
+    noisy_dir.mkdir()
+    rng = np.random.default_rng(0)
+    t = np.arange(24000) / 16000
+    for i in range(6):
+        clean = (0.3 * np.sin(2 * np.pi * (200 + 40 * i) * t)).astype(np.float32)
+        clean *= 0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)
+        noisy = clean + 0.05 * rng.standard_normal(len(t)).astype(np.float32)
+        save_wav(clean_dir / f"p{i:03d}.wav", clean)
+        save_wav(noisy_dir / f"p{i:03d}.wav", noisy)
+    return str(clean_dir), str(noisy_dir)
+
+
+def test_load_save_roundtrip(tmp_path):
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(
+        np.float32
+    )
+    save_wav(tmp_path / "a.wav", x)
+    y, sr = load_wav(tmp_path / "a.wav", 16000)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_load_wav_resamples(tmp_path):
+    from scipy.io import wavfile
+
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(48000) / 48000)).astype(
+        np.float32
+    )
+    wavfile.write(tmp_path / "b.wav", 48000, (x * 32767).astype(np.int16))
+    y, sr = load_wav(tmp_path / "b.wav", 16000)
+    assert sr == 16000
+    assert abs(len(y) - 16000) <= 1
+
+
+def test_dataset_pairs(wav_dirs):
+    clean_dir, noisy_dir = wav_dirs
+    ds = VoicebankDataset(clean_dir, noisy_dir)
+    assert len(ds) == 6
+    rec = ds[0]
+    assert rec["audio"].shape == rec["noisy"].shape
+    # noisy differs from clean but is correlated
+    c = np.corrcoef(rec["audio"], rec["noisy"])[0, 1]
+    assert c > 0.9
+
+
+def test_collator_crop_and_tile(wav_dirs):
+    clean_dir, noisy_dir = wav_dirs
+    ds = VoicebankDataset(clean_dir, noisy_dir)
+    col = Collator(100, 160, crop_len=1, rng=np.random.default_rng(1),
+                   silence_check=True)
+    batch = col.collate([ds[i] for i in range(4)])
+    assert batch.audio.shape == (4, 16000)
+    assert batch.noisy.shape == (4, 16000)
+    # tiling path: record shorter than crop_len
+    short = {"audio": ds[0]["audio"][:5000], "noisy": ds[0]["noisy"][:5000]}
+    batch = col.collate([short])
+    assert batch.audio.shape == (1, 16000)
+
+
+def test_collator_drops_silent(wav_dirs):
+    col = Collator(100, 160, rng=np.random.default_rng(1), silence_check=True)
+    silent = {
+        "audio": np.zeros(20000, np.float32),
+        "noisy": np.zeros(20000, np.float32),
+    }
+    batch = col.collate([silent])
+    assert batch.audio.shape[0] == 0
+
+
+def test_collator_precomputed_labels(wav_dirs):
+    clean_dir, noisy_dir = wav_dirs
+    ds = VoicebankDataset(clean_dir, noisy_dir)
+    col = Collator(100, 160, rng=np.random.default_rng(1),
+                   precompute_labels=True)
+    batch = col.collate([ds[0], ds[1]])
+    assert batch.pesq_clean.shape == (2,)
+    # clean/clean normalized label ~ (4.64-1)/3.5
+    np.testing.assert_allclose(batch.pesq_clean, (4.644 - 1) / 3.5, atol=0.01)
+    assert np.all(batch.pesq_noisy < batch.pesq_clean)
+
+
+def test_dataloader_sharding_and_epochs(wav_dirs):
+    clean_dir, noisy_dir = wav_dirs
+    ds = VoicebankDataset(clean_dir, noisy_dir)
+    col = Collator(100, 160, rng=np.random.default_rng(2), silence_check=False)
+    dl0 = DataLoader(ds, 2, col, seed=5, shard_id=0, num_shards=2,
+                     num_workers=2)
+    dl1 = DataLoader(ds, 2, col, seed=5, shard_id=1, num_shards=2,
+                     num_workers=2)
+    assert len(dl0) == 1  # 3 records per shard, batch 2, drop_last
+    b0 = list(dl0)
+    b1 = list(dl1)
+    assert len(b0) == 1 and len(b1) == 1
+    assert b0[0].audio.shape == (2, 16000)
+    # different epoch -> different shuffle
+    dl0.set_epoch(1)
+    assert len(list(dl0)) == 1
+
+
+def test_config_defaults_and_overrides(tmp_path):
+    cfg = load_config()
+    assert cfg.N_FFT == 400
+    assert len(cfg.NOISE_SCHEDULE) == 50
+    np.testing.assert_allclose(cfg.NOISE_SCHEDULE[0], 1e-4)
+    np.testing.assert_allclose(cfg.NOISE_SCHEDULE[-1], 0.035)
+    assert cfg.OUTPUT == os.path.join("", "diffuse", "default")
+
+    base = tmp_path / "base.yaml"
+    base.write_text("LOSS_WEIGHTS: [0.1, 0.9, 0.2, 0.05]\n")
+    child = tmp_path / "scp.yaml"
+    child.write_text(
+        "BASE: [base.yaml]\nLOSS_WEIGHTS: [0.3, 0.7, 0.2, 0.05]\n"
+        "TRAIN:\n  SCHEDULER:\n    LR: 0.005\n"
+    )
+    cfg = load_config(str(child), opts=["DATA.BATCH_SIZE", "8"],
+                      arch="scp", epochs=12)
+    assert cfg.LOSS_WEIGHTS == [0.3, 0.7, 0.2, 0.05]
+    assert cfg.TRAIN.SCHEDULER.LR == 0.005
+    assert cfg.DATA.BATCH_SIZE == 8
+    assert cfg.MODEL.NAME == "scp"
+    assert cfg.TRAIN.SCHEDULER.EPOCHS == 12
+    assert cfg.OUTPUT.endswith(os.path.join("scp", "default"))
+
+
+def test_config_packaged_overlays():
+    import speech_enhancement_tpu.config as cfg_pkg
+
+    pkg_dir = os.path.dirname(cfg_pkg.__file__)
+    cfg = load_config(os.path.join(pkg_dir, "scp.yaml"))
+    assert cfg.LOSS_WEIGHTS == [0.3, 0.7, 0.2, 0.05]
+    cfg = load_config(os.path.join(pkg_dir, "cdiffuse_large.yaml"))
+    assert len(cfg.NOISE_SCHEDULE) == 200
+    assert cfg.RESIDUAL_CHANNELS == 144
