@@ -1,0 +1,135 @@
+"""Diffusion inference: reverse sampling + metric evaluation.
+
+CLI mirror of the reference's ``inference_diffuse.py`` — the reverse
+schedule (including --fast 6-step interpolation) is host numpy, the
+per-step loop is the jitted lax.scan samplers in train.diffusion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from speech_enhancement_tpu.cli.main_diffuse import build_model, init_state
+from speech_enhancement_tpu.config import get_config
+from speech_enhancement_tpu.data import load_wav, save_wav
+from speech_enhancement_tpu.enhance import wrap_pad
+from speech_enhancement_tpu.metrics import compute_metrics
+from speech_enhancement_tpu.train import (
+    inference_schedule,
+    sample_tsc,
+    sample_waveform,
+)
+from speech_enhancement_tpu.utils import load_variables
+
+MODEL_NAMES = ["diffuse", "tsc-diffuse"]
+
+
+def parse_option(argv=None):
+    parser = argparse.ArgumentParser(description="diffusion inference")
+    parser.add_argument("-a", "--arch", default="diffuse", choices=MODEL_NAMES)
+    parser.add_argument("--output", "-o", type=str, required=True)
+    parser.add_argument("--model_path", "-m", type=str, required=True)
+    parser.add_argument("--cfg", type=str, required=True, metavar="FILE")
+    parser.add_argument("--save", action="store_true")
+    parser.add_argument("--validate-epochs", action="store_true")
+    parser.add_argument("--start", default=None, type=int)
+    parser.add_argument("--end", default=None, type=int)
+    parser.add_argument("--comp-type", default="pow",
+                        choices=["norm", "log", "pow", "none"])
+    parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--opts", default=None, nargs="+")
+    args = parser.parse_args(argv)
+    config = get_config(args)
+    return args, config
+
+
+def load_model(model_path, args, config):
+    model = build_model(args, config)
+    crop_len = config.CROP_FRAMES * config.HOP_SAMPLES * config.CROP_LEN
+    template = init_state(args, config, model, optax.sgd(1e-3), crop_len)
+    return model, load_variables(model_path, template.variables())
+
+
+def predict(model, variables, args, config, noisy_signal, schedule, rng):
+    """Per-utterance sampling with reference padding/normalization
+    semantics (inference_diffuse.py:192-269)."""
+    hop = config.HOP_SAMPLES
+    length = len(noisy_signal)
+    if args.arch.startswith("diffuse"):
+        padded = ((length + hop - 1) // hop) * hop
+        x = jnp.asarray(noisy_signal[None, :], jnp.float32)
+        audio = sample_waveform(model, variables, x, schedule, rng,
+                                hop=hop, n_fft=config.N_FFT)
+        return np.asarray(audio)[0][:length]
+    # tsc: RMS normalize + wrap-pad like the GAN predict
+    c = float(np.sqrt(length / np.sum(noisy_signal**2.0)))
+    padded = ((length + hop - 1) // hop) * hop
+    x = jnp.asarray(wrap_pad(noisy_signal * c, padded)[None], jnp.float32)
+    audio = sample_tsc(model, variables, x, schedule, rng,
+                       n_fft=config.N_FFT, hop=hop, comp_type=args.comp_type)
+    return (np.asarray(audio)[0] / c)[:length]
+
+
+def inference(args, config, model_path, data_paths):
+    model, variables = load_model(model_path, args, config)
+    schedule = inference_schedule(
+        config.NOISE_SCHEDULE, config.INFERENCE_NOISE_SCHEDULE, fast=args.fast
+    )
+    rng = jax.random.PRNGKey(23)
+    metrics_total = np.zeros(6)
+    out_dir = Path(args.output) / Path(data_paths[0]).parent.name
+    if args.save:
+        out_dir.mkdir(parents=True, exist_ok=True)
+    for path in data_paths:
+        clean_path = path.replace(config.DATA.TEST_NOISY_DIR,
+                                  config.DATA.TEST_CLEAN_DIR)
+        noisy, _ = load_wav(path, config.SAMPLE_RATE)
+        clean, _ = load_wav(clean_path, config.SAMPLE_RATE)
+        rng, sub = jax.random.split(rng)
+        est = predict(model, variables, args, config, noisy, schedule, sub)
+        metrics_total += np.array(
+            compute_metrics(clean, est, config.SAMPLE_RATE, 0)
+        )
+        if args.save:
+            save_wav(out_dir / Path(path).name, est, config.SAMPLE_RATE)
+    return metrics_total
+
+
+def _report(m):
+    print(
+        f"pesq: {m[0]:.3f}\t csig: {m[1]:.3f}\t cbak: {m[2]:.3f}\t "
+        f"covl: {m[3]:.3f}\t ssnr: {m[4]:.3f}\t stoi: {m[5]:.3f}"
+    )
+
+
+def main(argv=None):
+    args, config = parse_option(argv)
+    data_paths = sorted(glob(f"{config.DATA.TEST_NOISY_DIR}/*.wav"))
+    num = len(data_paths)
+    if num == 0:
+        raise SystemExit(f"no test wavs in {config.DATA.TEST_NOISY_DIR}")
+    if args.validate_epochs:
+        best_pesq, best_epoch = 0.0, 0
+        for epoch in range(args.start, args.end):
+            model_path = os.path.join(args.model_path,
+                                      f"checkpoint_{epoch:04d}")
+            m = inference(args, config, model_path, data_paths) / num
+            _report(m)
+            if m[0] > best_pesq:
+                best_pesq, best_epoch = m[0], epoch
+        print(f"Best epoch: {best_epoch}\t best PESQ: {best_pesq}")
+    else:
+        m = inference(args, config, args.model_path, data_paths) / num
+        _report(m)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""GAN/enhancement inference + metric evaluation entry point.
+
+CLI mirror of the reference's ``inference_gan.py`` (checkpoint load, test
+directory sweep, 6-metric report, optional wav save, --validate-epochs
+best-PESQ sweep) over the batched, length-bucketed Enhancer instead of
+the per-utterance Python loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+
+from speech_enhancement_tpu.config import get_config
+from speech_enhancement_tpu.data import load_wav, save_wav
+from speech_enhancement_tpu.enhance import Enhancer
+from speech_enhancement_tpu.metrics import compute_metrics
+from speech_enhancement_tpu.models import Discriminator, TSCNet
+from speech_enhancement_tpu.train import create_gan_state
+from speech_enhancement_tpu.utils import load_variables
+
+
+def parse_option(argv=None):
+    parser = argparse.ArgumentParser(description="enhancement inference")
+    parser.add_argument("--output", "-o", type=str, required=True)
+    parser.add_argument("--model_path", "-m", type=str, required=True)
+    parser.add_argument("--cfg", type=str, required=True, metavar="FILE")
+    parser.add_argument("--save", action="store_true")
+    parser.add_argument("--validate-epochs", action="store_true")
+    parser.add_argument("--start", default=None, type=int)
+    parser.add_argument("--end", default=None, type=int)
+    parser.add_argument("--batch-size", default=32, type=int)
+    parser.add_argument("--opts", default=None, nargs="+")
+    args = parser.parse_args(argv)
+    config = get_config(args)
+    return args, config
+
+
+def load_model(model_path: str, config):
+    """Build a fresh TSCNet and restore generator variables from a
+    checkpoint directory saved by main_gan (inference_gan.py:60-72)."""
+    gen = TSCNet(num_channel=64, num_features=config.N_FFT // 2 + 1)
+    disc = Discriminator(ndf=16)
+    crop_len = config.CROP_FRAMES * config.HOP_SAMPLES * config.CROP_LEN
+    template = create_gan_state(
+        jax.random.PRNGKey(0), gen, disc, optax.sgd(1e-3), optax.sgd(1e-3),
+        length=crop_len,
+    )
+    variables = load_variables(
+        model_path,
+        {"gen": template.gen.variables(), "disc": template.disc.variables()},
+    )
+    return gen, variables["gen"]
+
+
+def inference(args, config, model_path, data_paths):
+    gen, variables = load_model(model_path, config)
+    enhancer = Enhancer(gen, variables, config.N_FFT, config.HOP_SAMPLES)
+
+    noisy_sigs, clean_sigs = [], []
+    for noisy_path in data_paths:
+        clean_path = noisy_path.replace(
+            config.DATA.TEST_NOISY_DIR, config.DATA.TEST_CLEAN_DIR
+        )
+        noisy_sigs.append(load_wav(noisy_path, config.SAMPLE_RATE)[0])
+        clean_sigs.append(load_wav(clean_path, config.SAMPLE_RATE)[0])
+
+    enhanced = enhancer.enhance(noisy_sigs, batch_size=args.batch_size)
+
+    metrics_total = np.zeros(6)
+    out_dir = Path(args.output) / Path(data_paths[0]).parent.name
+    if args.save:
+        out_dir.mkdir(parents=True, exist_ok=True)
+    for path, clean, est in zip(data_paths, clean_sigs, enhanced):
+        metrics_total += np.array(
+            compute_metrics(clean, est, config.SAMPLE_RATE, 0)
+        )
+        if args.save:
+            save_wav(out_dir / Path(path).name, est, config.SAMPLE_RATE)
+    return metrics_total
+
+
+def _report(metrics_avg):
+    print(
+        f"pesq: {metrics_avg[0]:.3f}\t csig: {metrics_avg[1]:.3f}\t "
+        f"cbak: {metrics_avg[2]:.3f}\t covl: {metrics_avg[3]:.3f}\t "
+        f"ssnr: {metrics_avg[4]:.3f}\t stoi: {metrics_avg[5]:.3f}"
+    )
+
+
+def main(argv=None):
+    args, config = parse_option(argv)
+    data_paths = sorted(glob(f"{config.DATA.TEST_NOISY_DIR}/*.wav"))
+    num = len(data_paths)
+    if num == 0:
+        raise SystemExit(f"no test wavs in {config.DATA.TEST_NOISY_DIR}")
+
+    if args.validate_epochs:
+        best_pesq, best_epoch = 0.0, 0
+        for epoch in range(args.start, args.end):
+            model_path = os.path.join(args.model_path,
+                                      f"checkpoint_{epoch:04d}")
+            metrics_avg = inference(args, config, model_path, data_paths) / num
+            print(f"Epoch: {epoch}")
+            _report(metrics_avg)
+            if metrics_avg[0] > best_pesq:
+                best_pesq, best_epoch = metrics_avg[0], epoch
+        print(f"Best epoch: {best_epoch}\t best PESQ: {best_pesq}")
+    else:
+        metrics_avg = inference(args, config, args.model_path, data_paths) / num
+        _report(metrics_avg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""SCP-GAN / CMGAN training entry point.
+
+CLI mirror of the reference's ``main_gan.py`` (flags, arch choices
+['scp','cp','sc','cmgan'], gen-first gating, disc lr = 2x gen lr,
+best-by-validation-disc-loss checkpointing) rebuilt on the functional
+core: one process drives all local devices through mesh sharding —
+there is no mp.spawn / process-group plumbing to configure; multi-host
+runs pass --num-processes/--process-id for the jax.distributed rendezvous.
+
+Usage:
+  python -m speech_enhancement_tpu.cli.main_gan -a scp \
+      --cfg speech_enhancement_tpu/config/scp.yaml --output out --epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_enhancement_tpu.config import get_config
+from speech_enhancement_tpu.data import Collator, DataLoader, VoicebankDataset
+from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
+from speech_enhancement_tpu.models import Discriminator, TSCNet
+from speech_enhancement_tpu.parallel import (
+    data_parallel_mesh,
+    init_distributed,
+    replicate_state,
+    shard_batch,
+)
+from speech_enhancement_tpu.train import (
+    build_criterion,
+    build_optimizer,
+    create_gan_state,
+    cyclic_cosine_schedule,
+    gan_discriminator_step,
+    gan_eval_step,
+    gan_generator_step,
+)
+from speech_enhancement_tpu.utils import (
+    AverageMeter,
+    create_logger,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+MODEL_NAMES = ["scp", "cp", "sc", "cmgan"]
+
+
+def parse_option(argv=None):
+    parser = argparse.ArgumentParser(description="Speech enhancement training")
+    parser.add_argument("-a", "--arch", default="cmgan", choices=MODEL_NAMES)
+    parser.add_argument("--output", default="output", type=str)
+    parser.add_argument("--tag", default=None)
+    parser.add_argument("--cfg", type=str, required=True, metavar="FILE")
+    parser.add_argument("--opts", default=None, nargs="+")
+    parser.add_argument("-j", "--workers", default=8, type=int)
+    parser.add_argument("--epochs", default=100, type=int)
+    parser.add_argument("--start-epoch", default=0, type=int)
+    parser.add_argument("-b", "--batch-size", default=None, type=int)
+    parser.add_argument("--lr", default=0.01, type=float)
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--wd", "--weight-decay", default=0.01, type=float,
+                        dest="weight_decay")
+    parser.add_argument("--max-norm", default=0.0, type=float)
+    parser.add_argument("-p", "--print-freq", default=10, type=int)
+    parser.add_argument("--resume", default="", type=str)
+    parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument("--optimizer", default="sgd",
+                        choices=["sgd", "adamw", "lars", "lamb"])
+    parser.add_argument("--criterion", default="l1",
+                        choices=["mae", "l1", "mse", "l2"])
+    parser.add_argument("--crop-len", default=1, type=int)
+    parser.add_argument("--gen-first", action="store_true")
+    parser.add_argument("--comp-type", default="pow",
+                        choices=["norm", "log", "pow", "none"])
+    parser.add_argument("--debug", action="store_true",
+                        help="enable jax_debug_nans")
+    parser.add_argument("--n-devices", default=None, type=int)
+    parser.add_argument("--coordinator", default=None, type=str)
+    parser.add_argument("--num-processes", default=None, type=int)
+    parser.add_argument("--process-id", default=None, type=int)
+    args = parser.parse_args(argv)
+    config = get_config(args)
+    return args, config
+
+
+def main(argv=None):
+    args, config = parse_option(argv)
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
+    if args.seed is not None:
+        np.random.seed(args.seed)
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    mesh = data_parallel_mesh(args.n_devices)
+    rank = jax.process_index()
+    logger = create_logger(config.OUTPUT, dist_rank=rank, name=args.arch)
+    logger.info(f"devices: {mesh.devices.size}, arch: {args.arch}")
+
+    gen_model = TSCNet(num_channel=64, num_features=config.N_FFT // 2 + 1)
+    disc_model = Discriminator(ndf=16)
+    # the reference hardcodes MSE for the GAN path (main_gan.py:190)
+    criterion = build_criterion("mse")
+
+    crop_len = config.CROP_FRAMES * config.HOP_SAMPLES * config.CROP_LEN
+
+    train_ds = VoicebankDataset(
+        config.DATA.TRAIN_CLEAN_DIR, config.DATA.TRAIN_NOISY_DIR,
+        config.HOP_SAMPLES, config.CROP_FRAMES,
+    )
+    valid_ds = VoicebankDataset(
+        config.DATA.TEST_CLEAN_DIR, config.DATA.TEST_NOISY_DIR,
+        config.HOP_SAMPLES, config.CROP_FRAMES,
+    )
+    batch_size = config.DATA.BATCH_SIZE
+    mk_collator = lambda labels: Collator(
+        config.HOP_SAMPLES, config.CROP_FRAMES, config.CROP_LEN,
+        rng=np.random.default_rng(args.seed),
+        precompute_labels=labels,
+    )
+    train_loader = DataLoader(
+        train_ds, batch_size, mk_collator(True), shuffle=True,
+        seed=args.seed or 0, shard_id=jax.process_index(),
+        num_shards=jax.process_count(), num_workers=args.workers,
+    )
+    valid_loader = DataLoader(
+        valid_ds, batch_size, mk_collator(True), shuffle=False,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+        num_workers=args.workers,
+    )
+
+    iters_per_epoch = max(len(train_loader), 1)
+    sched = config.TRAIN.SCHEDULER
+    gen_sched = cyclic_cosine_schedule(
+        sched.LR, sched.EPOCHS, iters_per_epoch, sched.CYCLE_LIMIT,
+        sched.WARMUP_EPOCHS,
+    )
+    disc_sched = cyclic_cosine_schedule(
+        sched.LR, sched.EPOCHS, iters_per_epoch, sched.CYCLE_LIMIT,
+        sched.WARMUP_EPOCHS, scale=2.0,  # disc lr = 2x (main_gan.py:192)
+    )
+
+    import optax
+
+    probe = create_gan_state(
+        jax.random.PRNGKey(args.seed or 0), gen_model, disc_model,
+        optax.sgd(1e-3), optax.sgd(1e-3), length=crop_len,
+    )
+    gen_tx = build_optimizer(args.optimizer, gen_sched, probe.gen.params,
+                             args.momentum, args.weight_decay, args.max_norm)
+    disc_tx = build_optimizer(args.optimizer, disc_sched, probe.disc.params,
+                              args.momentum, args.weight_decay, args.max_norm)
+    state = create_gan_state(
+        jax.random.PRNGKey(args.seed or 0), gen_model, disc_model,
+        gen_tx, disc_tx, length=crop_len,
+    )
+    del probe
+
+    best_loss = 1e8
+    start_epoch = args.start_epoch
+    if args.resume:
+        path = args.resume
+        if path == "auto":
+            path = latest_checkpoint(config.OUTPUT)
+        if path:
+            state = load_checkpoint(path, state)
+            start_epoch = int(state.epoch)
+            best_loss = float(state.best_loss)
+            logger.info(f"=> resumed from {path} (epoch {start_epoch})")
+
+    state = replicate_state(mesh, state)
+    rng = jax.random.PRNGKey((args.seed or 0) + 1)
+    loss_weights = tuple(config.LOSS_WEIGHTS)
+
+    for epoch in range(start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        gan_active = epoch >= int(args.epochs * 0.3) or not args.gen_first
+        gen_meter, disc_meter, batch_meter = (
+            AverageMeter(), AverageMeter(), AverageMeter(),
+        )
+        t_end = time.time()
+        for idx, batch in enumerate(train_loader):
+            if batch.audio.shape[0] == 0:
+                continue
+            b = batch.audio.shape[0]
+            if b % mesh.devices.size != 0:
+                continue  # ragged tail: skip (drop_last semantics)
+            clean, noisy = shard_batch(mesh, batch.audio, batch.noisy)
+            rng, step_rng, disc_rng = jax.random.split(rng, 3)
+            state, aux = gan_generator_step(
+                state, clean, noisy, step_rng,
+                gen_model=gen_model, disc_model=disc_model, arch=args.arch,
+                criterion=criterion, comp_type=args.comp_type,
+                gan_active=gan_active, loss_weights=loss_weights,
+                gen_tx=gen_tx,
+            )
+            if gan_active:
+                est = np.asarray(aux.est_audio)
+                q_est = jnp.asarray(
+                    (batch_pesq_raw(batch.audio[:, : est.shape[1]], est) - 1.0)
+                    / 3.5,
+                    jnp.float32,
+                )
+                q_clean = jnp.asarray(batch.pesq_clean)
+                q_noisy = jnp.asarray(batch.pesq_noisy)
+                state, disc_loss = gan_discriminator_step(
+                    state, aux, q_est, q_clean, q_noisy, disc_rng,
+                    disc_model=disc_model, arch=args.arch,
+                    criterion=criterion, disc_tx=disc_tx,
+                )
+                disc_meter.update(float(disc_loss), b)
+            gen_meter.update(float(aux.metrics["loss"]), b)
+            batch_meter.update(time.time() - t_end)
+            t_end = time.time()
+            if idx % args.print_freq == 0:
+                logger.info(
+                    f"Train: [{epoch}/{args.epochs}][{idx}/{iters_per_epoch}]\t"
+                    f"time {batch_meter.val:.4f} ({batch_meter.avg:.4f})\t"
+                    f"generator loss {gen_meter}\t"
+                    f"discriminator loss {disc_meter}"
+                )
+
+        # ---- validation (function.py:346-451)
+        vg, vd = AverageMeter(), AverageMeter()
+        for batch in valid_loader:
+            if batch.audio.shape[0] == 0:
+                continue
+            b = batch.audio.shape[0]
+            if b % mesh.devices.size != 0:
+                continue
+            clean, noisy = shard_batch(mesh, batch.audio, batch.noisy)
+            losses, aux = gan_eval_step(
+                state, clean, noisy,
+                gen_model=gen_model, disc_model=disc_model, arch=args.arch,
+                criterion=criterion, comp_type=args.comp_type,
+                gan_active=gan_active, loss_weights=loss_weights,
+            )
+            est = np.asarray(aux.est_audio)
+            q_est = (batch_pesq_raw(batch.audio[:, : est.shape[1]], est) - 1.0) / 3.5
+            d_fake = np.asarray(aux.metrics["d_fake"])
+            d_real = np.asarray(aux.metrics["d_real"])
+            disc_loss = float(np.mean((d_real - 1.0) ** 2)
+                              + np.mean((d_fake - q_est) ** 2))
+            vg.update(float(losses["loss"]), b)
+            vd.update(disc_loss, b)
+
+        if rank == 0:
+            is_best = vd.avg <= best_loss
+            best_loss = min(vd.avg, best_loss)
+            host_state = jax.device_get(state)
+            host_state = host_state.replace(
+                best_loss=best_loss, epoch=epoch + 1
+            )
+            variables = {
+                "gen": host_state.gen.variables(),
+                "disc": host_state.disc.variables(),
+            }
+            save_checkpoint(host_state, config.OUTPUT, epoch, is_best,
+                            variables=variables)
+            logger.info(f"=> saved checkpoint_{epoch:04d} (best={is_best})")
+        logger.info(
+            f"Train Gen {gen_meter.avg:.3f}  Train Disc {disc_meter.avg:.3f}  "
+            f"Valid Gen {vg.avg:.3f}  Valid Disc {vd.avg:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,8 +2,10 @@ from speech_enhancement_tpu.train.criterion import build_criterion, l1_loss, l2_
 from speech_enhancement_tpu.train.diffusion import (
     ReverseSchedule,
     add_noise,
+    diffuse_step,
     diffuse_train_loss,
     inference_schedule,
+    tsc_diffusion_step,
     linear_noise_schedule,
     sample_tsc,
     sample_waveform,
@@ -34,6 +36,8 @@ __all__ = [
     "add_noise",
     "build_criterion",
     "build_optimizer",
+    "diffuse_step",
+    "tsc_diffusion_step",
     "create_gan_state",
     "cyclic_cosine_schedule",
     "diffuse_train_loss",

@@ -11,17 +11,21 @@ of a Python loop of device round-trips.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from speech_enhancement_tpu.ops import (
     compressed_stft,
+    normalize_batch,
     stft,
     uncompressed_istft,
 )
+from speech_enhancement_tpu.train.state import ModuleState
 
 
 def linear_noise_schedule(num_steps: int = 50) -> np.ndarray:
@@ -162,6 +166,117 @@ def diffuse_train_loss(model, variables, batch_clean, batch_noisy,
     )
     predicted = model.apply(variables, noisy_audio, spectrogram, t)
     return predicted, combine_noise
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "criterion", "tx", "n_fft", "hop", "train"),
+)
+def diffuse_step(
+    state: ModuleState,
+    clean: jnp.ndarray,
+    noisy: jnp.ndarray,
+    noise_schedule: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    model,
+    criterion: Callable,
+    tx: optax.GradientTransformation | None,
+    n_fft: int = 400,
+    hop: int = 100,
+    train: bool = True,
+):
+    """Waveform DiffuSE train/eval step (function.py:45-125).  With
+    ``train=False`` (or tx=None) no update is applied.  Returns
+    (state, loss)."""
+
+    def loss_fn(params):
+        variables = {"params": params, **state.extra}
+        pred, target = diffuse_train_loss(
+            model, variables, clean, noisy, noise_schedule, rng, n_fft, hop
+        )
+        return criterion(pred, target)
+
+    if train and tx is not None:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+    else:
+        loss = loss_fn(state.params)
+    return state, loss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "tx", "comp_type", "n_fft", "hop", "train"),
+)
+def tsc_diffusion_step(
+    state: ModuleState,
+    clean: jnp.ndarray,
+    noisy: jnp.ndarray,
+    noise_schedule: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    model,
+    tx: optax.GradientTransformation | None,
+    comp_type: str = "pow",
+    n_fft: int = 400,
+    hop: int = 100,
+    train: bool = True,
+):
+    """Spectrogram-domain diffusion train/eval step
+    (function.py:453-622): compressed STFTs of the diffused audio and the
+    noisy conditioner, TSCNet predicts a spectrogram, iSTFT back, L1
+    time-domain loss against the combined noise (the reference's active
+    loss; the mag/RI terms are commented out there, :504-512)."""
+    rng_noise, rng_drop = jax.random.split(rng)
+
+    def loss_fn(params):
+        variables = {"params": params, **state.extra}
+        c, n, _ = normalize_batch(clean, noisy)
+        orig_spec = compressed_stft(n, n_fft, hop, comp_type=comp_type)
+        noisy_audio, combine_noise, t = add_noise(
+            c, n, noise_schedule, rng_noise
+        )
+        noisy_spec = compressed_stft(noisy_audio, n_fft, hop,
+                                     comp_type=comp_type)
+        if train:
+            (est_re, est_im), updates = model.apply(
+                variables, noisy_spec, orig_spec, t,
+                deterministic=False, rngs={"dropout": rng_drop},
+                mutable=["batch_stats"],
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            est_re, est_im = model.apply(
+                variables, noisy_spec, orig_spec, t, deterministic=True
+            )
+            new_stats = state.extra.get("batch_stats", {})
+        predicted = uncompressed_istft(
+            jax.lax.complex(est_re, est_im), n_fft, hop,
+            comp_type=comp_type, length=clean.shape[-1],
+        )
+        loss = jnp.mean(jnp.abs(predicted - combine_noise))
+        return loss, new_stats
+
+    if train and tx is not None:
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            params=new_params,
+            extra={**state.extra, "batch_stats": new_stats},
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+    else:
+        loss, _ = loss_fn(state.params)
+    return state, loss
 
 
 def sample_waveform(model, variables, noisy_signal, schedule: ReverseSchedule,

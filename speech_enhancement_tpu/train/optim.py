@@ -35,17 +35,24 @@ def cyclic_cosine_schedule(
     (utils.py:87-90); we apply the same actual lr.  ``scale`` implements
     the discriminator's 2x lr (main_gan.py:192).
     """
-    cycle_length = epochs // cycle_limit
+    # guards the reference's div-by-zero for epochs < cycle_limit
+    # (utils.py:80 divides by epochs//cycle_limit unguarded) and for
+    # warmup >= cycle_length
+    cycle_length = max(epochs // cycle_limit, 1)
+    warmup_epochs = min(warmup_epochs, cycle_length - 1) if cycle_length > 1 else 0
 
     def schedule(step):
         epoch = step / float(iters_per_epoch)
         q = jnp.floor(epoch / cycle_length)
         r = epoch - q * cycle_length
-        warm = 0.5**q * base_lr * r / warmup_epochs
+        warm = (
+            0.5**q * base_lr * r / warmup_epochs if warmup_epochs > 0 else 0.0
+        )
+        denom = max(cycle_length - warmup_epochs, 1e-9)
         cos = (
             base_lr
             * 0.5 ** (q + 1)
-            * (1.0 + jnp.cos(math.pi * (r - warmup_epochs) / (cycle_length - warmup_epochs)))
+            * (1.0 + jnp.cos(math.pi * (r - warmup_epochs) / denom))
         )
         return scale * jnp.where(r < warmup_epochs, warm, cos)
 

@@ -1,6 +1,7 @@
 from speech_enhancement_tpu.utils.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
+    load_variables,
     save_checkpoint,
 )
 from speech_enhancement_tpu.utils.logging import (
@@ -15,5 +16,6 @@ __all__ = [
     "create_logger",
     "latest_checkpoint",
     "load_checkpoint",
+    "load_variables",
     "save_checkpoint",
 ]

@@ -27,17 +27,27 @@ def save_checkpoint(
     epoch: int,
     is_best: bool = False,
     keep_name: str = "model_best",
+    variables: Any = None,
 ) -> str:
     """Save ``state`` (any pytree) to <path>/checkpoint_<epoch>; copy to
-    <path>/model_best when is_best (utils.py:68-75 semantics)."""
+    <path>/model_best when is_best (utils.py:68-75 semantics).
+
+    ``variables``, if given, is an inference-ready subtree (e.g. the
+    generator's {params, batch_stats}) saved under ``.../variables`` so
+    eval tooling can restore without reconstructing optimizer state
+    (the analogue of inference_gan.py:64-69 reading gen_state_dict).
+    """
     path = Path(path).resolve()
     path.mkdir(parents=True, exist_ok=True)
     target = path / f"checkpoint_{epoch:04d}"
     if target.exists():
         shutil.rmtree(target)
     ckptr = _checkpointer()
-    ckptr.save(target, state)
+    ckptr.save(target / "state", state)
     ckptr.wait_until_finished()
+    if variables is not None:
+        ckptr.save(target / "variables", variables)
+        ckptr.wait_until_finished()
     if is_best:
         best = path / keep_name
         if best.exists():
@@ -47,10 +57,20 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str, template: Any) -> Any:
-    """Restore a pytree saved by :func:`save_checkpoint`.  ``template``
-    provides the structure/dtypes (the freshly-initialized state)."""
+    """Restore the full train-state pytree saved by
+    :func:`save_checkpoint`.  ``template`` provides the structure/dtypes
+    (the freshly-initialized state)."""
+    p = Path(path).resolve()
+    if (p / "state").exists():
+        p = p / "state"
     ckptr = _checkpointer()
-    return ckptr.restore(Path(path).resolve(), template)
+    return ckptr.restore(p, template)
+
+
+def load_variables(path: str, template: Any) -> Any:
+    """Restore the inference-ready variables subtree of a checkpoint."""
+    ckptr = _checkpointer()
+    return ckptr.restore(Path(path).resolve() / "variables", template)
 
 
 def latest_checkpoint(path: str) -> str | None:

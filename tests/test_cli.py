@@ -1,0 +1,118 @@
+"""End-to-end CLI tests on a tiny synthetic VoiceBank-style dataset.
+
+These exercise the full entry-point surface: 1-epoch GAN training with
+checkpointing, resuming, and inference with the 6-metric report —
+the reference's validation-as-testing strategy (SURVEY.md §4) in
+miniature.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.data import save_wav
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vb_cli")
+    dirs = {}
+    rng = np.random.default_rng(0)
+    t = np.arange(20000) / 16000
+    for split, n in [("train", 4), ("test", 2)]:
+        cdir = root / f"clean_{split}"
+        ndir = root / f"noisy_{split}"
+        cdir.mkdir()
+        ndir.mkdir()
+        for i in range(n):
+            clean = (0.3 * np.sin(2 * np.pi * (180 + 50 * i) * t)).astype(
+                np.float32
+            ) * (0.5 + 0.5 * np.sin(2 * np.pi * 2.7 * t))
+            noisy = clean + 0.05 * rng.standard_normal(len(t)).astype(np.float32)
+            save_wav(cdir / f"p{i:03d}.wav", clean)
+            save_wav(ndir / f"p{i:03d}.wav", noisy)
+        dirs[split] = (str(cdir), str(ndir))
+    cfg = root / "tiny.yaml"
+    cfg.write_text(
+        f"""
+DATA:
+  TRAIN_CLEAN_DIR: {dirs['train'][0]}
+  TRAIN_NOISY_DIR: {dirs['train'][1]}
+  TEST_CLEAN_DIR: {dirs['test'][0]}
+  TEST_NOISY_DIR: {dirs['test'][1]}
+  BATCH_SIZE: 2
+CROP_FRAMES: 40
+"""
+    )
+    return root, str(cfg)
+
+
+@pytest.mark.slow
+def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
+    root, cfg = tiny_dataset
+    out = root / "out_gan"
+    # shrink the models so the CPU test stays fast
+    import speech_enhancement_tpu.cli.main_gan as mg
+
+    monkeypatch.setattr(
+        mg, "TSCNet", lambda num_channel, num_features: __import__(
+            "speech_enhancement_tpu.models", fromlist=["TSCNet"]
+        ).TSCNet(num_channel=8, num_features=num_features),
+    )
+    monkeypatch.setattr(
+        mg, "Discriminator", lambda ndf: __import__(
+            "speech_enhancement_tpu.models", fromlist=["Discriminator"]
+        ).Discriminator(ndf=4),
+    )
+    mg.main([
+        "-a", "scp", "--cfg", cfg, "--output", str(out), "--epochs", "1",
+        "--seed", "3", "-j", "2", "-p", "1", "--n-devices", "1",
+    ])
+    ckpt = out / "scp" / "default" / "checkpoint_0000"
+    assert ckpt.exists()
+    assert (out / "scp" / "default" / "model_best").exists()
+
+    import speech_enhancement_tpu.cli.inference_gan as ig
+
+    monkeypatch.setattr(
+        ig, "TSCNet", lambda num_channel, num_features: __import__(
+            "speech_enhancement_tpu.models", fromlist=["TSCNet"]
+        ).TSCNet(num_channel=8, num_features=num_features),
+    )
+    monkeypatch.setattr(
+        ig, "Discriminator", lambda ndf: __import__(
+            "speech_enhancement_tpu.models", fromlist=["Discriminator"]
+        ).Discriminator(ndf=4),
+    )
+    enh_out = root / "enhanced"
+    ig.main([
+        "--cfg", cfg, "-m", str(ckpt), "-o", str(enh_out), "--save",
+    ])
+    saved = list((enh_out).rglob("*.wav"))
+    assert len(saved) == 2
+
+
+@pytest.mark.slow
+def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
+    root, cfg = tiny_dataset
+    out = root / "out_diff"
+    import speech_enhancement_tpu.cli.main_diffuse as md
+
+    real_build = md.build_model
+
+    def small_build(args, config):
+        from speech_enhancement_tpu.models import DiffusionTSCNet
+
+        return DiffusionTSCNet(
+            num_channel=8, num_features=config.N_FFT // 2 + 1,
+            num_steps=len(config.NOISE_SCHEDULE),
+        )
+
+    monkeypatch.setattr(md, "build_model", small_build)
+    md.main([
+        "-a", "tsc-diffuse", "--cfg", cfg, "--output", str(out),
+        "--epochs", "1", "--seed", "3", "-j", "2", "-p", "1",
+        "--n-devices", "1", "--optimizer", "adamw", "--lr", "1e-4",
+    ])
+    assert (out / "tsc-diffuse" / "default" / "checkpoint_0000").exists()
