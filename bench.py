@@ -1,0 +1,71 @@
+"""Enhancement throughput benchmark (the BASELINE.json north star).
+
+Measures steady-state batched CMGAN enhancement (compressed STFT ->
+TSCNet-64 -> iSTFT) on the default JAX device, in enhanced utterances per
+second per chip, over 2-second utterances (the VoiceBank test-set average
+scale).  Baseline: the north star is 500 utt/s on a v5e-8, i.e. 62.5
+utt/s/chip; the reference itself publishes no throughput numbers
+(BASELINE.md) and enhances one utterance at a time in Python.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UTT_SECONDS = 2.0
+SAMPLE_RATE = 16000
+BATCH = 32
+WARMUP_ITERS = 3
+MEASURE_ITERS = 10
+BASELINE_UTT_PER_SEC_PER_CHIP = 500.0 / 8.0
+
+
+def main() -> None:
+    from speech_enhancement_tpu.enhance import Enhancer
+    from speech_enhancement_tpu.models import TSCNet
+    from speech_enhancement_tpu.ops import compressed_stft
+
+    length = int(UTT_SECONDS * SAMPLE_RATE)
+    model = TSCNet(num_channel=64, num_features=201)
+    spec = compressed_stft(jnp.zeros((1, length)), 400, 100)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec,
+        deterministic=True,
+    )
+    enhancer = Enhancer(model, variables, 400, 100)
+
+    rng = np.random.default_rng(0)
+    batch = 0.1 * rng.standard_normal((BATCH, length)).astype(np.float32)
+
+    fn = enhancer._get_compiled(length)
+    x = jnp.asarray(batch)
+    for _ in range(WARMUP_ITERS):
+        fn(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_ITERS):
+        fn(x).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = BATCH * MEASURE_ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "enhance_throughput_2s_utterances",
+                "value": round(utt_per_sec, 2),
+                "unit": "utt/s/chip",
+                "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

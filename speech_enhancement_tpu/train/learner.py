@@ -1,0 +1,127 @@
+"""Step-granular diffusion learner — the standalone CDiffuSE trainer.
+
+Re-design of the vendored cdiffuse/learner.py (DiffuSELearner): an
+infinite step loop with max_steps, NaN-loss guard, checkpoint every
+dataset pass with a ``weights`` alias, partial pretrain loading that
+drops the conditioner weights, and scalar summaries every 50 steps —
+rebuilt on the functional diffuse_step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from speech_enhancement_tpu.train.diffusion import diffuse_step
+from speech_enhancement_tpu.train.state import ModuleState
+from speech_enhancement_tpu.utils import load_checkpoint, save_checkpoint
+
+
+class DiffuSELearner:
+    """cdiffuse/learner.py:41-177 equivalent."""
+
+    def __init__(
+        self,
+        model_dir: str,
+        model,
+        state: ModuleState,
+        tx,
+        dataset,
+        noise_schedule,
+        criterion,
+        *,
+        n_fft: int = 400,
+        hop: int = 100,
+        max_grad_norm: float | None = None,
+        summary_every: int = 50,
+        logger=None,
+    ):
+        self.model_dir = Path(model_dir)
+        self.model_dir.mkdir(parents=True, exist_ok=True)
+        self.model = model
+        self.state = state
+        self.tx = tx
+        self.dataset = dataset
+        self.noise_schedule = noise_schedule
+        self.criterion = criterion
+        self.n_fft = n_fft
+        self.hop = hop
+        self.summary_every = summary_every
+        self.logger = logger
+        self.step = int(state.step)
+
+    # -- checkpointing (learner.py:97-121) --------------------------------
+    def save_to_checkpoint(self, filename: str = "weights") -> None:
+        host = jax.device_get(self.state)
+        save_checkpoint(host, str(self.model_dir), self.step, is_best=False)
+        # 'weights' alias to the latest step (the reference's symlink)
+        alias = self.model_dir / filename
+        target = self.model_dir / f"checkpoint_{self.step:04d}"
+        if alias.exists():
+            shutil.rmtree(alias)
+        shutil.copytree(target, alias)
+
+    def restore_from_checkpoint(self, filename: str = "weights") -> bool:
+        path = self.model_dir / filename
+        if not path.exists():
+            return False
+        self.state = load_checkpoint(str(path), jax.device_get(self.state))
+        self.step = int(self.state.step)
+        return True
+
+    # -- training loop (learner.py:123-168) -------------------------------
+    def train(self, max_steps: int | None = None, rng_seed: int = 0):
+        rng = jax.random.PRNGKey(rng_seed)
+        while True:
+            for batch in self.dataset:
+                if max_steps is not None and self.step >= max_steps:
+                    return self.state
+                if batch.audio.shape[0] == 0:
+                    continue
+                rng, step_rng = jax.random.split(rng)
+                t0 = time.time()
+                self.state, loss = diffuse_step(
+                    self.state, batch.audio, batch.noisy,
+                    self.noise_schedule, step_rng,
+                    model=self.model, criterion=self.criterion, tx=self.tx,
+                    n_fft=self.n_fft, hop=self.hop, train=True,
+                )
+                loss = float(loss)
+                if not np.isfinite(loss):
+                    raise RuntimeError(
+                        f"Detected NaN loss at step {self.step}."
+                    )
+                if self.step % self.summary_every == 0:
+                    self._write_summary(loss, time.time() - t0)
+                self.step += 1
+            self.save_to_checkpoint()
+
+    def _write_summary(self, loss: float, step_time: float) -> None:
+        rec = {"step": self.step, "loss": loss, "step_time": step_time}
+        with open(self.model_dir / "summary.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self.logger:
+            self.logger.info(f"step {self.step}: loss {loss:.5f}")
+
+
+def load_pretrain_params(state: ModuleState, pretrain_state: ModuleState):
+    """Partial pretrain load dropping conditioner weights
+    (learner.py:73-95): copies every leaf except conditioner projections
+    and the input projection, which stay freshly initialized."""
+
+    def merge(path, new, old):
+        names = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "conditioner_projection" in names or "input_projection" in names:
+            return new
+        return old if new.shape == old.shape else new
+
+    params = jax.tree_util.tree_map_with_path(
+        merge, state.params, pretrain_state.params
+    )
+    return state.replace(params=params)

@@ -1,0 +1,71 @@
+"""Standalone cdiffuse components: learner, preprocess, CLI."""
+
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.data import save_wav
+from speech_enhancement_tpu.data.preprocess import (
+    make_spectrum,
+    mel_transform,
+    preprocess_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cd")
+    clean = root / "clean"
+    noisy = root / "noisy"
+    clean.mkdir()
+    noisy.mkdir()
+    rng = np.random.default_rng(0)
+    t = np.arange(20000) / 16000
+    for i in range(3):
+        c = (0.4 * np.sin(2 * np.pi * (200 + 30 * i) * t)).astype(np.float32)
+        c *= 0.5 + 0.5 * np.sin(2 * np.pi * 2 * t)
+        save_wav(clean / f"p{i}.wav", c)
+        save_wav(noisy / f"p{i}.wav",
+                 c + 0.05 * rng.standard_normal(len(t)).astype(np.float32))
+    return root
+
+
+def test_make_spectrum_shape(wav_dir):
+    Sxx, phase, length = make_spectrum(str(wav_dir / "clean" / "p0.wav"))
+    assert Sxx.shape[0] == 201
+    assert phase.shape == Sxx.shape
+    assert length == 20000
+    assert np.all(Sxx >= 0)  # log1p of magnitudes
+
+
+def test_mel_transform_range():
+    rng = np.random.default_rng(1)
+    y = 0.3 * rng.standard_normal(16000).astype(np.float32)
+    mel = mel_transform(y)
+    assert mel.shape[0] == 80
+    assert np.all((mel >= 0) & (mel <= 1))
+
+
+def test_preprocess_dir(wav_dir, tmp_path):
+    out = tmp_path / "specs"
+    files = preprocess_dir(str(wav_dir / "clean"), str(out), se=True,
+                           max_workers=2)
+    assert len(files) == 3
+    spec = np.load(files[0])
+    assert spec.shape[0] == 201
+
+
+@pytest.mark.slow
+def test_cdiffuse_cli_short_run(wav_dir, tmp_path, monkeypatch):
+    import speech_enhancement_tpu.cli.cdiffuse as cd
+
+    # shrink the model for CPU speed
+    small = dict(cd.PARAMS, residual_layers=2, residual_channels=32,
+                 batch_size=2, crop_mel_frames=20)
+    monkeypatch.setattr(cd, "PARAMS", small)
+    model_dir = tmp_path / "model"
+    cd.main([
+        str(model_dir), str(wav_dir / "clean"), str(wav_dir / "noisy"),
+        "--max-steps", "2", "--batch-size", "2", "-j", "1",
+    ])
+    assert (model_dir / "weights").exists()
+    assert (model_dir / "summary.jsonl").exists()
