@@ -13,9 +13,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the expensive TPU compiles are primed once
+# and reused across driver runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,10 +45,12 @@ def main() -> None:
     length = int(UTT_SECONDS * SAMPLE_RATE)
     model = TSCNet(num_channel=64, num_features=201)
     spec = compressed_stft(jnp.zeros((1, length)), 400, 100)
-    variables = model.init(
+    # jit the init: un-jitted flax init dispatches op-by-op (minutes over
+    # the TPU tunnel); jitted it is one compile
+    init = jax.jit(lambda rngs, s: model.init(rngs, s, deterministic=True))
+    variables = init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         spec,
-        deterministic=True,
     )
     enhancer = Enhancer(model, variables, 400, 100)
 
