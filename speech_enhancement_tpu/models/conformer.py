@@ -81,24 +81,25 @@ class ShawAttention(nn.Module):
 
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
 
-        # Shaw relative positions: logits[i, j] += q_i . E[clip(i-j)]
+        # Shaw relative positions: logits[i, j] += q_i . E[clip(i-j)].
+        # Gather-free-ish formulation: project q onto the (2n-1)-row band of
+        # the table once (an MXU matmul), then band the [i, r] -> [i, j]
+        # remap with a constant (n, n) advanced-indexing gather — the index
+        # tensor is tiny and shared across batch/heads (a naive
+        # take_along_axis would materialize a (b, h, n, n) index array).
         table = self.param(
             "rel_pos_emb",
             nn.initializers.normal(1.0),
             (2 * self.max_pos_emb + 1, d),
         )
-        # distances i-j span [-(n-1), n-1]; clip handled by construction when
-        # n <= max_pos_emb + 1, else clamp indices.
         offsets = np.arange(-(n - 1), n)
         offsets = np.clip(offsets, -self.max_pos_emb, self.max_pos_emb)
         band = jnp.asarray(table)[offsets + self.max_pos_emb]  # [2n-1, d]
-        # pos_logits[i, r] = q_i . band[r]; then map (i, j) -> r = (i - j) + n - 1
+        # pos_logits[i, r] = q_i . band[r]; (i, j) maps to r = (i - j) + n - 1
         pos_logits = jnp.einsum("bhid,rd->bhir", q, band.astype(q.dtype)) * scale
-        gather_idx = np.arange(n)[:, None] - np.arange(n)[None, :] + n - 1  # [n, n]
-        gather_idx = jnp.asarray(gather_idx[None, None], jnp.int32)
-        pos_attn = jnp.take_along_axis(
-            pos_logits, jnp.broadcast_to(gather_idx, (b, h, n, n)), axis=-1
-        )
+        rows = np.arange(n)[:, None]
+        cols = rows - np.arange(n)[None, :] + n - 1  # [n, n] static
+        pos_attn = pos_logits[..., jnp.asarray(rows), jnp.asarray(cols)]
         dots = dots + pos_attn
 
         attn = jax.nn.softmax(dots, axis=-1)
