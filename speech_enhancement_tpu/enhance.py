@@ -50,23 +50,41 @@ class Enhancer:
         hop: int = 100,
         quantum: int = 8000,
         dtype=jnp.float32,
+        compute_dtype=None,
     ):
+        """``compute_dtype=jnp.bfloat16`` runs the generator (not the
+        STFT/iSTFT featurization) in bf16: params and spectrogram are cast
+        down, outputs cast back — roughly 2x on the MXU with negligible
+        perceptual-metric impact (see tests/test_enhance.py)."""
         self.model = model
         self.variables = variables
         self.n_fft = n_fft
         self.hop = hop
         self.quantum = quantum
         self.dtype = dtype
+        self.compute_dtype = compute_dtype
         self._compiled = {}
 
     def _step(self, noisy: jnp.ndarray) -> jnp.ndarray:
         _, noisy_n, c = normalize_batch(noisy, noisy)
         spec = compressed_stft(noisy_n, self.n_fft, self.hop, comp_type="pow")
+        variables = self.variables
+        if self.compute_dtype is not None:
+            cd = self.compute_dtype
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(cd) if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                variables,
+            )
+            spec_in = (jnp.real(spec).astype(cd), jnp.imag(spec).astype(cd))
+        else:
+            spec_in = spec
         est_real, est_imag = self.model.apply(
-            self.variables, spec, deterministic=True
+            variables, spec_in, deterministic=True
         )
         est = uncompressed_istft(
-            jax.lax.complex(est_real, est_imag),
+            jax.lax.complex(est_real.astype(jnp.float32),
+                            est_imag.astype(jnp.float32)),
             self.n_fft,
             self.hop,
             comp_type="pow",

@@ -177,11 +177,22 @@ class ComplexDecoder(nn.Module):
         return x
 
 
+def split_spec(spec):
+    """Accept a complex spectrogram or an (re, im) pair — the pair form
+    keeps the compute path real-valued so it can run in bfloat16 (there is
+    no complex bf16 dtype)."""
+    if isinstance(spec, (tuple, list)):
+        re, im = spec
+    else:
+        re, im = jnp.real(spec), jnp.imag(spec)
+    return re, im
+
+
 class TSCNet(nn.Module):
     """CMGAN generator (generator.py:132-166).
 
-    ``__call__(spec)`` with complex ``spec [B, T, F]`` returns
-    ``(final_real, final_imag)`` each ``[B, T, F]``.
+    ``__call__(spec)`` with complex ``spec [B, T, F]`` (or an (re, im)
+    pair) returns ``(final_real, final_imag)`` each ``[B, T, F]``.
     """
 
     num_channel: int = 64
@@ -189,9 +200,15 @@ class TSCNet(nn.Module):
 
     @nn.compact
     def __call__(self, spec, deterministic: bool = True):
-        mag = jnp.abs(spec)
-        phase = jnp.angle(spec)
-        x_in = jnp.stack([mag, jnp.real(spec), jnp.imag(spec)], axis=-1)
+        re, im = split_spec(spec)
+        # magnitude/phase in float32 even under a bf16 compute dtype — the
+        # phase recombination at the output is precision-critical
+        ref = re.astype(jnp.float32)
+        imf = im.astype(jnp.float32)
+        mag32 = jnp.sqrt(ref * ref + imf * imf)
+        phase = jnp.arctan2(imf, ref)
+        mag = mag32.astype(re.dtype)
+        x_in = jnp.stack([mag, re, im], axis=-1)
 
         out = DenseEncoder(self.num_channel, name="dense_encoder")(x_in)
         out = TSCB(self.num_channel, name="tscb1")(out, deterministic)
@@ -201,9 +218,9 @@ class TSCNet(nn.Module):
 
         mask = MaskDecoder(self.num_features, self.num_channel,
                            name="mask_decoder")(out)
-        out_mag = mask * mag
+        out_mag = mask.astype(jnp.float32) * mag32
 
         complex_out = ComplexDecoder(self.num_channel, name="complex_decoder")(out)
-        final_real = out_mag * jnp.cos(phase) + complex_out[..., 0]
-        final_imag = out_mag * jnp.sin(phase) + complex_out[..., 1]
+        final_real = out_mag * jnp.cos(phase) + complex_out[..., 0].astype(jnp.float32)
+        final_imag = out_mag * jnp.sin(phase) + complex_out[..., 1].astype(jnp.float32)
         return final_real, final_imag

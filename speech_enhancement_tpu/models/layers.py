@@ -68,11 +68,14 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: [B, *spatial, C] — normalize over spatial dims per (B, C)
+        # x: [B, *spatial, C] — normalize over spatial dims per (B, C).
+        # Statistics always accumulate in float32 (bf16 means over 10^5
+        # elements lose several digits), output returns in x.dtype.
         axes = tuple(range(1, x.ndim - 1))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))

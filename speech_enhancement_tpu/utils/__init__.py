@@ -9,11 +9,19 @@ from speech_enhancement_tpu.utils.logging import (
     ProgressMeter,
     create_logger,
 )
+from speech_enhancement_tpu.utils.profiling import (
+    StepTimer,
+    device_memory_stats,
+    trace,
+)
 
 __all__ = [
     "AverageMeter",
     "ProgressMeter",
+    "StepTimer",
     "create_logger",
+    "device_memory_stats",
+    "trace",
     "latest_checkpoint",
     "load_checkpoint",
     "load_variables",

@@ -1,0 +1,66 @@
+"""Profiling / tracing hooks (SURVEY.md §5 observability).
+
+The reference's tracing is AverageMeter prints + cuda max-memory
+(function.py:109-120).  Here:
+
+* :func:`trace` — context manager around ``jax.profiler.trace`` emitting a
+  TensorBoard-loadable trace directory of device/host timelines;
+* :class:`StepTimer` — wall-clock step timing with jitted-work completion
+  (block_until_ready) and a rolling summary;
+* :func:`device_memory_stats` — per-device live/peak bytes where the
+  backend exposes them (the TPU analogue of torch.cuda.max_memory_allocated).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a profiler trace for the enclosed steps."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling per-step timer; call ``tick(outputs)`` once per step."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self.times: list[float] = []
+        self._last = time.perf_counter()
+
+    def tick(self, outputs=None) -> float:
+        if outputs is not None:
+            jax.block_until_ready(outputs)
+        now = time.perf_counter()
+        dt = now - self._last
+        self._last = now
+        self.times.append(dt)
+        if len(self.times) > self.window:
+            self.times.pop(0)
+        return dt
+
+    @property
+    def avg(self) -> float:
+        return sum(self.times) / max(len(self.times), 1)
+
+
+def device_memory_stats() -> list[dict]:
+    """Per-device memory stats (empty entries where unsupported)."""
+    out = []
+    for d in jax.devices():
+        stats = {}
+        try:
+            stats = dict(d.memory_stats() or {})
+        except Exception:
+            pass
+        out.append({"device": str(d), **stats})
+    return out
