@@ -123,6 +123,32 @@ class TSCB(nn.Module):
         return x_f.reshape(b, t, f, c)
 
 
+class _TSCBScanCell(nn.Module):
+    """nn.scan cell wrapping TSCB: (carry, deterministic) -> (carry, None)."""
+
+    channels: int
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, carry, deterministic):
+        y = TSCB(self.channels, self.dropout, name="block")(carry, deterministic)
+        return y, None
+
+
+def tscb_stack(channels: int, depth: int = 4, dropout: float = 0.2,
+               name: str = "tscb_stack"):
+    """Stack of ``depth`` TSCBs as a single scanned block: XLA compiles ONE
+    conformer pair instead of ``depth`` (a ~4x compile-time cut); params
+    carry a leading [depth] axis."""
+    return nn.scan(
+        _TSCBScanCell,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(nn.broadcast,),
+        length=depth,
+    )(channels, dropout, name=name)
+
+
 class SPConvTranspose2d(nn.Module):
     """Sub-pixel upsampler along F: conv to r*channels then interleave
     (generator.py:77-92)."""
@@ -211,10 +237,7 @@ class TSCNet(nn.Module):
         x_in = jnp.stack([mag, re, im], axis=-1)
 
         out = DenseEncoder(self.num_channel, name="dense_encoder")(x_in)
-        out = TSCB(self.num_channel, name="tscb1")(out, deterministic)
-        out = TSCB(self.num_channel, name="tscb2")(out, deterministic)
-        out = TSCB(self.num_channel, name="tscb3")(out, deterministic)
-        out = TSCB(self.num_channel, name="tscb4")(out, deterministic)
+        out, _ = tscb_stack(self.num_channel, depth=4)(out, deterministic)
 
         mask = MaskDecoder(self.num_features, self.num_channel,
                            name="mask_decoder")(out)
