@@ -70,6 +70,7 @@ class ShawAttention(nn.Module):
         inner = h * d
         scale = d**-0.5
 
+        x = nn.LayerNorm()(x)  # pre-norm (conformer.py:200 PreNorm wrap)
         q = nn.Dense(inner, use_bias=False, kernel_init=kaiming_normal_init(),
                      name="to_q")(x)
         kv = nn.Dense(inner * 2, use_bias=False, kernel_init=kaiming_normal_init(),

@@ -161,24 +161,34 @@ class SpectralNormConv(nn.Module):
 
 def _spectral_sigma(mdl: nn.Module, flat_kernel: jnp.ndarray, update_stats: bool):
     """Largest-singular-value estimate of a [rows, cols] kernel by one step
-    of power iteration.  ``u`` (size cols) persists in the ``spectral``
-    collection; gradients flow through the kernel only (u, v are constants),
-    matching torch's spectral_norm.
+    of power iteration, matching torch's spectral_norm exactly: both
+    singular-vector estimates (``u`` size cols, ``v`` size rows) persist in
+    the ``spectral`` collection; at eval time sigma uses the stored pair
+    with no recomputation; gradients flow through the kernel only.
     """
-    _, cols = flat_kernel.shape
+    rows, cols = flat_kernel.shape
     u_var = mdl.variable(
         "spectral",
         "u",
         lambda: jax.random.normal(jax.random.PRNGKey(0), (cols,), jnp.float32),
     )
+    v_var = mdl.variable(
+        "spectral",
+        "v",
+        lambda: jax.random.normal(jax.random.PRNGKey(1), (rows,), jnp.float32),
+    )
     u = jax.lax.stop_gradient(u_var.value)
-    k_const = jax.lax.stop_gradient(flat_kernel)
-    v = k_const @ u
-    v = v / (jnp.linalg.norm(v) + 1e-12)
-    u_new = k_const.T @ v
-    u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-    if update_stats and not mdl.is_initializing():
-        u_var.value = u_new
-    u_used = u_new if update_stats else u
-    sigma = jnp.dot(v, flat_kernel @ u_used)
+    if update_stats:
+        k_const = jax.lax.stop_gradient(flat_kernel)
+        v = k_const @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_new = k_const.T @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+        if not mdl.is_initializing():
+            u_var.value = u_new
+            v_var.value = v
+        sigma = jnp.dot(v, flat_kernel @ u_new)
+    else:
+        v = jax.lax.stop_gradient(v_var.value)
+        sigma = jnp.dot(v, flat_kernel @ u)
     return sigma

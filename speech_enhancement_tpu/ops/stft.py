@@ -43,11 +43,15 @@ __all__ = [
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def hamming_window_np(n_fft: int) -> np.ndarray:
+    """Periodic Hamming window as host numpy (for constant folding)."""
+    k = np.arange(n_fft)
+    return (0.54 - 0.46 * np.cos(2.0 * np.pi * k / n_fft)).astype(np.float32)
+
+
 def hamming_window(n_fft: int, dtype=jnp.float32) -> jnp.ndarray:
     """Periodic Hamming window, identical to ``torch.hamming_window(n_fft)``."""
-    k = np.arange(n_fft)
-    w = 0.54 - 0.46 * np.cos(2.0 * np.pi * k / n_fft)
-    return jnp.asarray(w, dtype)
+    return jnp.asarray(hamming_window_np(n_fft), dtype)
 
 
 @functools.lru_cache(maxsize=8)
