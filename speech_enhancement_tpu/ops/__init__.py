@@ -1,3 +1,4 @@
+from speech_enhancement_tpu.ops.pallas_stft import pallas_istft, pallas_stft
 from speech_enhancement_tpu.ops.stft import (
     compressed_stft,
     disassemble_spectrogram,
@@ -22,6 +23,8 @@ __all__ = [
     "normalize_batch",
     "overlap_add",
     "pack_spec_channels",
+    "pallas_istft",
+    "pallas_stft",
     "power_compress",
     "power_uncompress",
     "stft",

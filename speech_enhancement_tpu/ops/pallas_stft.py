@@ -60,6 +60,7 @@ def _stft_kernel(*refs, r, hop, t_tile, fpad, comp_pow):
     spec = jnp.zeros((t_tile, 2 * fpad), jnp.float32)
     for k in range(r):
         spec = spec + jnp.dot(block_refs[k][0, :, :], basis_ref[k],
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
     if comp_pow:
         re = spec[:, :fpad]
@@ -148,6 +149,7 @@ def _istft_kernel(spec_ref, basis_ref, out_ref, *, r, hop, t_tile, fpad,
     out_ref[0, 0, :, :] = jnp.zeros_like(out_ref[0, 0, :, :])
     for k in range(r):
         part = jnp.dot(packed, basis_ref[k],
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)  # [t_tile, hop]
         out_ref[0, 0, k : k + t_tile, :] = out_ref[0, 0, k : k + t_tile, :] + part
 
