@@ -1,4 +1,4 @@
-import time, functools, jax
+import time, jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp, numpy as np
@@ -13,35 +13,33 @@ x = jnp.asarray(0.1*rng.standard_normal((16, length)).astype(np.float32))
 
 def bench_model(label):
     model = TSCNet(num_channel=64, num_features=201)
-    spec = jax.jit(lambda x: compressed_stft(x, 400, 100))(x[:1])
+    spec1 = jax.jit(lambda x: compressed_stft(x, 400, 100))(x[:1])
     init = jax.jit(lambda r, s: model.init(r, s, deterministic=True))
-    vs = init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, spec)
+    vs = init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, spec1)
     f = jax.jit(lambda v, s: model.apply(v, s, deterministic=True))
     spec_full = jax.jit(lambda x: compressed_stft(x, 400, 100))(x)
-    out = jax.block_until_ready(f(vs, spec_full))
+    # vary input each iter to defeat any arg memoization; force host fetch
+    specs = [spec_full * (1.0 + 0.001*i) for i in range(7)]
+    float(jnp.sum(jnp.abs(f(vs, specs[0])[0])))  # warm
     t0=time.time()
-    for _ in range(6): jax.block_until_ready(f(vs, spec_full))
+    for i in range(1, 7):
+        r, _ = f(vs, specs[i])
+        float(jnp.sum(jnp.abs(r)))  # device->host sync of a scalar
     print(f"{label}: {(time.time()-t0)/6*1000:.1f} ms", flush=True)
 
 bench_model("full")
-
-# ablate attention
 orig_attn = conf.ShawAttention.__call__
 def no_attn(self, x, deterministic=True):
     return x * 0.0
 conf.ShawAttention.__call__ = nn.compact(no_attn)
 bench_model("no-attention")
 conf.ShawAttention.__call__ = orig_attn
-
-# ablate conv module
 orig_conv = conf.ConvModule.__call__
 def no_conv(self, x, deterministic=True):
     return x * 0.0
 conf.ConvModule.__call__ = nn.compact(no_conv)
 bench_model("no-convmodule")
 conf.ConvModule.__call__ = orig_conv
-
-# ablate feedforward
 orig_ff = conf.FeedForward.__call__
 def no_ff(self, x, deterministic=True):
     return x * 0.0

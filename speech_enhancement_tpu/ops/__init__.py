@@ -1,5 +1,6 @@
 from speech_enhancement_tpu.ops.pallas_stft import pallas_istft, pallas_stft
 from speech_enhancement_tpu.ops.stft import (
+    batch_stft,
     compressed_stft,
     disassemble_spectrogram,
     frame_signal,
@@ -15,6 +16,7 @@ from speech_enhancement_tpu.ops.stft import (
 )
 
 __all__ = [
+    "batch_stft",
     "compressed_stft",
     "disassemble_spectrogram",
     "frame_signal",

@@ -243,6 +243,18 @@ def uncompressed_istft(
     return istft(spec, n_fft, hop, window, length=length)
 
 
+def batch_stft(clean: jnp.ndarray, noisy: jnp.ndarray, n_fft: int = 400,
+               hop: int = 100):
+    """The reference's per-batch featurization bundle (function.py:664-683):
+    RMS-normalize both signals, power-compress STFT both, return
+    (clean, noisy, clean_spec, noisy_spec, one_labels)."""
+    clean, noisy, _ = normalize_batch(clean, noisy)
+    noisy_spec = compressed_stft(noisy, n_fft, hop, comp_type="pow")
+    clean_spec = compressed_stft(clean, n_fft, hop, comp_type="pow")
+    one_labels = jnp.ones(clean.shape[0], clean.dtype)
+    return clean, noisy, clean_spec, noisy_spec, one_labels
+
+
 def normalize_batch(clean: jnp.ndarray, noisy: jnp.ndarray):
     """Per-utterance RMS gain c = sqrt(L / sum(noisy^2)) applied to both
     signals (function.py:647-659).  Returns (clean*c, noisy*c, c)."""

@@ -17,6 +17,14 @@ def l2_loss(pred, target):
     return jnp.mean((pred - target) ** 2)
 
 
+def get_accuracy(pred, label):
+    """Classification accuracy helper (function.py:19-23 parity; unused by
+    the enhancement paths, kept for API completeness)."""
+    import jax.numpy as jnp
+
+    return jnp.mean((jnp.argmax(pred, axis=1) == label).astype(jnp.float32))
+
+
 def build_criterion(name: str):
     name = name.lower()
     if name in ("mae", "l1"):
