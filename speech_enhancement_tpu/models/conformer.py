@@ -55,13 +55,18 @@ class FeedForward(nn.Module):
 
 class ShawAttention(nn.Module):
     """MHSA with Shaw relative positional embeddings
-    (conformer.py:74-125), pre-norm applied by caller."""
+    (conformer.py:74-125), pre-norm applied by caller.
+
+    ``fused=True`` routes through the Pallas VMEM-resident kernel
+    (ops/pallas_attention.py): no HBM logits, same math/params.
+    """
 
     dim: int
     heads: int = 4
     dim_head: int = 16
     dropout: float = 0.0
     max_pos_emb: int = 512
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -80,27 +85,57 @@ class ShawAttention(nn.Module):
         k = k.reshape(b, n, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, h, d).transpose(0, 2, 1, 3)
 
+        if self.fused:
+            from speech_enhancement_tpu.ops.pallas_attention import (
+                fused_shaw_attention,
+            )
+
+            table = self.param(
+                "rel_pos_emb",
+                nn.initializers.normal(1.0),
+                (2 * self.max_pos_emb + 1, d),
+            )
+            out = fused_shaw_attention(
+                q.reshape(b * h, n, d),
+                k.reshape(b * h, n, d),
+                v.reshape(b * h, n, d),
+                table,
+                max_pos_emb=self.max_pos_emb,
+                scale=scale,
+            )
+            out = out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+            out = out.reshape(b, n, inner).astype(x.dtype)
+            out = nn.Dense(self.dim, kernel_init=kaiming_normal_init(),
+                           bias_init=bias_init_001, name="to_out")(out)
+            return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
 
         # Shaw relative positions: logits[i, j] += q_i . E[clip(i-j)].
-        # Gather-free-ish formulation: project q onto the (2n-1)-row band of
-        # the table once (an MXU matmul), then band the [i, r] -> [i, j]
-        # remap with a constant (n, n) advanced-indexing gather — the index
-        # tensor is tiny and shared across batch/heads (a naive
-        # take_along_axis would materialize a (b, h, n, n) index array).
+        # Fully gather-free: project q onto the (2n-1)-row band of the
+        # table (an MXU matmul), then realize the [i, r] -> [i, j] banded
+        # remap with the music-transformer "skew" — a flatten/slice/reshape
+        # whose row stride drops from (2n-1) to (2n-2), aligning offset
+        # r' = j - i + n - 1 under column j.  (TPU gathers are scalar-slow:
+        # the gather variant of this remap cost ~70% of model runtime.)
         table = self.param(
             "rel_pos_emb",
             nn.initializers.normal(1.0),
             (2 * self.max_pos_emb + 1, d),
         )
-        offsets = np.arange(-(n - 1), n)
-        offsets = np.clip(offsets, -self.max_pos_emb, self.max_pos_emb)
+        # band rows indexed by r' = j - i + n - 1  ==> offsets reversed
+        offsets = np.clip(np.arange(n - 1, -n, -1),
+                          -self.max_pos_emb, self.max_pos_emb)
         band = jnp.asarray(table)[offsets + self.max_pos_emb]  # [2n-1, d]
-        # pos_logits[i, r] = q_i . band[r]; (i, j) maps to r = (i - j) + n - 1
         pos_logits = jnp.einsum("bhid,rd->bhir", q, band.astype(q.dtype)) * scale
-        rows = np.arange(n)[:, None]
-        cols = rows - np.arange(n)[None, :] + n - 1  # [n, n] static
-        pos_attn = pos_logits[..., jnp.asarray(rows), jnp.asarray(cols)]
+        if n > 1:
+            flat = pos_logits.reshape(b, h, n * (2 * n - 1))
+            skewed = jax.lax.slice_in_dim(
+                flat, n - 1, n - 1 + n * (2 * n - 2), axis=2
+            ).reshape(b, h, n, 2 * n - 2)
+            pos_attn = skewed[..., :n]
+        else:
+            pos_attn = pos_logits
         dots = dots + pos_attn
 
         # softmax in float32 regardless of compute dtype
@@ -161,6 +196,7 @@ class ConformerBlock(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -168,7 +204,8 @@ class ConformerBlock(nn.Module):
             x, deterministic
         ) + x
         x = ShawAttention(
-            self.dim, self.heads, self.dim_head, self.attn_dropout, name="attn"
+            self.dim, self.heads, self.dim_head, self.attn_dropout,
+            fused=self.fused_attention, name="attn",
         )(x, deterministic) + x
         x = ConvModule(
             self.dim, self.conv_expansion_factor, self.conv_kernel_size,

@@ -98,6 +98,7 @@ class TSCB(nn.Module):
 
     channels: int = 64
     dropout: float = 0.2
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -107,6 +108,7 @@ class TSCB(nn.Module):
             ConformerBlock(
                 dim=c, dim_head=c // 4, heads=4,
                 attn_dropout=self.dropout, ff_dropout=self.dropout,
+                fused_attention=self.fused_attention,
                 name="time_conformer",
             )(x_t, deterministic)
             + x_t
@@ -116,6 +118,7 @@ class TSCB(nn.Module):
             ConformerBlock(
                 dim=c, dim_head=c // 4, heads=4,
                 attn_dropout=self.dropout, ff_dropout=self.dropout,
+                fused_attention=self.fused_attention,
                 name="freq_conformer",
             )(x_f, deterministic)
             + x_f
@@ -128,15 +131,17 @@ class _TSCBScanCell(nn.Module):
 
     channels: int
     dropout: float = 0.2
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, carry, deterministic):
-        y = TSCB(self.channels, self.dropout, name="block")(carry, deterministic)
+        y = TSCB(self.channels, self.dropout, self.fused_attention,
+                 name="block")(carry, deterministic)
         return y, None
 
 
 def tscb_stack(channels: int, depth: int = 4, dropout: float = 0.2,
-               name: str = "tscb_stack"):
+               fused_attention: bool = False, name: str = "tscb_stack"):
     """Stack of ``depth`` TSCBs as a single scanned block: XLA compiles ONE
     conformer pair instead of ``depth`` (a ~4x compile-time cut); params
     carry a leading [depth] axis."""
@@ -146,7 +151,7 @@ def tscb_stack(channels: int, depth: int = 4, dropout: float = 0.2,
         split_rngs={"params": True, "dropout": True},
         in_axes=(nn.broadcast,),
         length=depth,
-    )(channels, dropout, name=name)
+    )(channels, dropout, fused_attention, name=name)
 
 
 class SPConvTranspose2d(nn.Module):
@@ -223,6 +228,7 @@ class TSCNet(nn.Module):
 
     num_channel: int = 64
     num_features: int = 201
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, spec, deterministic: bool = True):
@@ -237,7 +243,10 @@ class TSCNet(nn.Module):
         x_in = jnp.stack([mag, re, im], axis=-1)
 
         out = DenseEncoder(self.num_channel, name="dense_encoder")(x_in)
-        out, _ = tscb_stack(self.num_channel, depth=4)(out, deterministic)
+        out, _ = tscb_stack(self.num_channel, depth=4,
+                            fused_attention=self.fused_attention)(
+            out, deterministic
+        )
 
         mask = MaskDecoder(self.num_features, self.num_channel,
                            name="mask_decoder")(out)

@@ -1,0 +1,62 @@
+"""Fused pallas attention vs the XLA einsum path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_enhancement_tpu.models import TSCNet
+from speech_enhancement_tpu.models.conformer import ShawAttention
+from speech_enhancement_tpu.ops import compressed_stft
+from speech_enhancement_tpu.ops.pallas_attention import fused_shaw_attention
+
+
+@pytest.mark.parametrize("n", [7, 101, 161])
+def test_fused_matches_reference_math(rng, n):
+    bh, d = 6, 8
+    q = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((1025, d)).astype(np.float32))
+    scale = d**-0.5
+
+    got = np.asarray(fused_shaw_attention(q, k, v, table, 512, scale))
+
+    dots = np.einsum("bid,bjd->bij", np.asarray(q), np.asarray(k)) * scale
+    tab = np.asarray(table)
+    for i in range(n):
+        for j in range(n):
+            dots[:, i, j] += (np.asarray(q)[:, i] @ tab[i - j + 512]) * scale
+    e = np.exp(dots - dots.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    want = np.einsum("bij,bjd->bid", attn, np.asarray(v))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_module_equivalence(rng):
+    """ShawAttention(fused=True) == ShawAttention(fused=False) with the
+    same params."""
+    x = jnp.asarray(rng.standard_normal((3, 33, 16)).astype(np.float32))
+    base = ShawAttention(dim=16, heads=2, dim_head=8)
+    vs = base.init({"params": jax.random.PRNGKey(0)}, x)
+    out_ref = base.apply(vs, x, deterministic=True)
+    fused = ShawAttention(dim=16, heads=2, dim_head=8, fused=True)
+    out_fused = fused.apply(vs, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_ref), np.asarray(out_fused), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tscnet_fused_flag_same_params(rng):
+    """Param trees are identical either way; outputs agree."""
+    spec = compressed_stft(jnp.ones((1, 4000)), 400, 100)
+    m0 = TSCNet(num_channel=8, num_features=201)
+    m1 = TSCNet(num_channel=8, num_features=201, fused_attention=True)
+    vs = m0.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec, deterministic=True,
+    )
+    r0, i0 = m0.apply(vs, spec, deterministic=True)
+    r1, i1 = m1.apply(vs, spec, deterministic=True)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), rtol=1e-3,
+                               atol=1e-4)
