@@ -9,10 +9,10 @@ TPU notes:
 * sequences here are short (time ~161 frames / freq 101 bins, batch-folded
   by TSCB), so attention is a pair of small batched matmuls — ideal MXU
   shapes after folding;
-* the Shaw relative-position logits use a gather-free formulation: since
-  seq_len < max_pos_emb for every config, ``dist + max_pos`` indexes a
-  contiguous (2n-1) slice of the table, and the (i, j) -> (i - j) banding
-  is realized with a static take_along_axis over precomputed indices;
+* the Shaw relative-position logits project q onto the contiguous (2n-1)
+  band of the embedding table with one MXU matmul, then band-remap with a
+  constant (n, n) gather; an optional Pallas kernel fuses the whole
+  attention in VMEM (ShawAttention(fused=True));
 * BatchNorm runs on global batch statistics: under pjit-sharded data
   parallelism jnp reductions over the folded batch axis are global, which
   reproduces the reference's SyncBatchNorm (main_gan.py:154-155) for free.
