@@ -31,7 +31,7 @@ import numpy as np
 
 UTT_SECONDS = 2.0
 SAMPLE_RATE = 16000
-BATCH = 16
+BATCH = 32
 WARMUP_ITERS = 3
 MEASURE_ITERS = 10
 BASELINE_UTT_PER_SEC_PER_CHIP = 500.0 / 8.0

@@ -76,6 +76,11 @@ def parse_option(argv=None):
                         choices=["mae", "l1", "mse", "l2"])
     parser.add_argument("--crop-len", default=1, type=int)
     parser.add_argument("--gen-first", action="store_true")
+    parser.add_argument(
+        "--async-disc", action="store_true",
+        help="pipeline PESQ label computation with the next generator step "
+             "(discriminator update lags one step; hides the host PESQ cost)",
+    )
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
     parser.add_argument("--debug", action="store_true",
@@ -177,6 +182,17 @@ def main(argv=None):
     rng = jax.random.PRNGKey((args.seed or 0) + 1)
     loss_weights = tuple(config.LOSS_WEIGHTS)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    label_pool = ThreadPoolExecutor(max_workers=1)
+
+    def compute_q_est(batch, aux):
+        est = np.asarray(aux.est_audio)
+        return jnp.asarray(
+            (batch_pesq_raw(batch.audio[:, : est.shape[1]], est) - 1.0) / 3.5,
+            jnp.float32,
+        )
+
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
         gan_active = epoch >= int(args.epochs * 0.3) or not args.gen_first
@@ -184,6 +200,7 @@ def main(argv=None):
             AverageMeter(), AverageMeter(), AverageMeter(),
         )
         t_end = time.time()
+        pending = None  # (aux, q_est future, q_clean, q_noisy, rng, b)
         for idx, batch in enumerate(train_loader):
             if batch.audio.shape[0] == 0:
                 continue
@@ -192,6 +209,19 @@ def main(argv=None):
                 continue  # ragged tail: skip (drop_last semantics)
             clean, noisy = shard_batch(mesh, batch.audio, batch.noisy)
             rng, step_rng, disc_rng = jax.random.split(rng, 3)
+
+            # apply the deferred discriminator update (its PESQ labels were
+            # computed while this generator step's inputs were loading)
+            if pending is not None:
+                p_aux, q_fut, q_c, q_n, p_rng, p_b = pending
+                state, disc_loss = gan_discriminator_step(
+                    state, p_aux, q_fut.result(), q_c, q_n, p_rng,
+                    disc_model=disc_model, arch=args.arch,
+                    criterion=criterion, disc_tx=disc_tx,
+                )
+                disc_meter.update(float(disc_loss), p_b)
+                pending = None
+
             state, aux = gan_generator_step(
                 state, clean, noisy, step_rng,
                 gen_model=gen_model, disc_model=disc_model, arch=args.arch,
@@ -200,20 +230,22 @@ def main(argv=None):
                 gen_tx=gen_tx,
             )
             if gan_active:
-                est = np.asarray(aux.est_audio)
-                q_est = jnp.asarray(
-                    (batch_pesq_raw(batch.audio[:, : est.shape[1]], est) - 1.0)
-                    / 3.5,
-                    jnp.float32,
-                )
                 q_clean = jnp.asarray(batch.pesq_clean)
                 q_noisy = jnp.asarray(batch.pesq_noisy)
-                state, disc_loss = gan_discriminator_step(
-                    state, aux, q_est, q_clean, q_noisy, disc_rng,
-                    disc_model=disc_model, arch=args.arch,
-                    criterion=criterion, disc_tx=disc_tx,
-                )
-                disc_meter.update(float(disc_loss), b)
+                if args.async_disc:
+                    pending = (
+                        aux,
+                        label_pool.submit(compute_q_est, batch, aux),
+                        q_clean, q_noisy, disc_rng, b,
+                    )
+                else:
+                    q_est = compute_q_est(batch, aux)
+                    state, disc_loss = gan_discriminator_step(
+                        state, aux, q_est, q_clean, q_noisy, disc_rng,
+                        disc_model=disc_model, arch=args.arch,
+                        criterion=criterion, disc_tx=disc_tx,
+                    )
+                    disc_meter.update(float(disc_loss), b)
             gen_meter.update(float(aux.metrics["loss"]), b)
             batch_meter.update(time.time() - t_end)
             t_end = time.time()
@@ -224,6 +256,17 @@ def main(argv=None):
                     f"generator loss {gen_meter}\t"
                     f"discriminator loss {disc_meter}"
                 )
+
+        # flush a trailing deferred discriminator update
+        if pending is not None:
+            p_aux, q_fut, q_c, q_n, p_rng, p_b = pending
+            state, disc_loss = gan_discriminator_step(
+                state, p_aux, q_fut.result(), q_c, q_n, p_rng,
+                disc_model=disc_model, arch=args.arch,
+                criterion=criterion, disc_tx=disc_tx,
+            )
+            disc_meter.update(float(disc_loss), p_b)
+            pending = None
 
         # ---- validation (function.py:346-451)
         vg, vd = AverageMeter(), AverageMeter()

