@@ -62,12 +62,17 @@ def main() -> None:
     batch = 0.1 * rng.standard_normal((BATCH, length)).astype(np.float32)
 
     fn = enhancer._get_compiled(length)
-    x = jnp.asarray(batch)
-    for _ in range(WARMUP_ITERS):
-        fn(x).block_until_ready()
+    # distinct input per iteration: the axon runtime memoizes repeated
+    # executions on identical buffers, which would fake the timing
+    xs = [
+        jnp.asarray(batch * (1.0 + 0.001 * i))
+        for i in range(WARMUP_ITERS + MEASURE_ITERS)
+    ]
+    for i in range(WARMUP_ITERS):
+        fn(xs[i]).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(MEASURE_ITERS):
-        fn(x).block_until_ready()
+    for i in range(WARMUP_ITERS, WARMUP_ITERS + MEASURE_ITERS):
+        fn(xs[i]).block_until_ready()
     dt = time.perf_counter() - t0
 
     utt_per_sec = BATCH * MEASURE_ITERS / dt
