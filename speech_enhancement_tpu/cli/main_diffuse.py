@@ -70,6 +70,10 @@ def parse_option(argv=None):
     parser.add_argument("--crop-len", default=1, type=int)
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=[None, "bfloat16"],
+                        help="bf16 model compute (the reference's AMP "
+                             "autocast analogue, no GradScaler needed)")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--n-devices", default=None, type=int)
     parser.add_argument("--coordinator", default=None, type=str)
@@ -173,17 +177,21 @@ def main(argv=None):
     state = replicate_state(mesh, state)
     rng = jax.random.PRNGKey((args.seed or 0) + 2)
 
+    compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+
     def run_step(state, clean, noisy, step_rng, train):
         if args.arch == "diffuse":
             return diffuse_step(
                 state, clean, noisy, noise_schedule, step_rng,
                 model=model, criterion=criterion, tx=tx,
                 n_fft=config.N_FFT, hop=config.HOP_SAMPLES, train=train,
+                compute_dtype=compute_dtype,
             )
         return tsc_diffusion_step(
             state, clean, noisy, noise_schedule, step_rng,
             model=model, tx=tx, comp_type=args.comp_type,
             n_fft=config.N_FFT, hop=config.HOP_SAMPLES, train=train,
+            compute_dtype=compute_dtype,
         )
 
     for epoch in range(start_epoch, args.epochs):

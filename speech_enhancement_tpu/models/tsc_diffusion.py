@@ -61,13 +61,20 @@ class DiffusionTSCNet(nn.Module):
 
     @nn.compact
     def __call__(self, spec, noisy_spec, diffusion_step, deterministic: bool = True):
-        mag = jnp.abs(spec)
-        phase = jnp.angle(spec)
-        x_in = jnp.stack([mag, jnp.real(spec), jnp.imag(spec)], axis=-1)
-        noisy_in = jnp.stack(
-            [jnp.abs(noisy_spec), jnp.real(noisy_spec), jnp.imag(noisy_spec)],
-            axis=-1,
-        )
+        from speech_enhancement_tpu.models.generator import split_spec
+
+        re, im = split_spec(spec)
+        ref = re.astype(jnp.float32)
+        imf = im.astype(jnp.float32)
+        mag32 = jnp.sqrt(ref * ref + imf * imf)
+        phase = jnp.arctan2(imf, ref)
+        mag = mag32.astype(re.dtype)
+        x_in = jnp.stack([mag, re, im], axis=-1)
+        nre, nim = split_spec(noisy_spec)
+        nmag = jnp.sqrt(
+            nre.astype(jnp.float32) ** 2 + nim.astype(jnp.float32) ** 2
+        ).astype(nre.dtype)
+        noisy_in = jnp.stack([nmag, nre, nim], axis=-1)
 
         out = DenseEncoder(self.num_channel, name="dense_encoder")(x_in)
         out_noisy = DenseEncoder(self.num_channel, name="dense_encoder_noisy")(
@@ -81,9 +88,11 @@ class DiffusionTSCNet(nn.Module):
 
         mask = MaskDecoder(self.num_features, self.num_channel,
                            name="mask_decoder")(out)
-        out_mag = mask * mag
+        out_mag = mask.astype(jnp.float32) * mag32
 
         complex_out = ComplexDecoder(self.num_channel, name="complex_decoder")(out)
-        final_real = out_mag * jnp.cos(phase) + complex_out[..., 0]
-        final_imag = out_mag * jnp.sin(phase) + complex_out[..., 1]
+        final_real = (out_mag * jnp.cos(phase)
+                      + complex_out[..., 0].astype(jnp.float32))
+        final_imag = (out_mag * jnp.sin(phase)
+                      + complex_out[..., 1].astype(jnp.float32))
         return final_real, final_imag

@@ -168,9 +168,20 @@ def diffuse_train_loss(model, variables, batch_clean, batch_noisy,
     return predicted, combine_noise
 
 
+def _maybe_cast(tree, dtype):
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "criterion", "tx", "n_fft", "hop", "train"),
+    static_argnames=("model", "criterion", "tx", "n_fft", "hop", "train",
+                     "compute_dtype"),
 )
 def diffuse_step(
     state: ModuleState,
@@ -185,17 +196,27 @@ def diffuse_step(
     n_fft: int = 400,
     hop: int = 100,
     train: bool = True,
+    compute_dtype=None,
 ):
     """Waveform DiffuSE train/eval step (function.py:45-125).  With
-    ``train=False`` (or tx=None) no update is applied.  Returns
-    (state, loss)."""
+    ``train=False`` (or tx=None) no update is applied.
+    ``compute_dtype=jnp.bfloat16`` is the TPU analogue of the reference's
+    AMP autocast (function.py:83): the model runs in bf16 with fp32
+    master params and an fp32 loss (no GradScaler needed for bf16).
+    Returns (state, loss)."""
 
     def loss_fn(params):
-        variables = {"params": params, **state.extra}
+        # cast params only; auxiliary stats (e.g. BatchNorm running
+        # averages) stay fp32 master copies
+        variables = {"params": _maybe_cast(params, compute_dtype),
+                     **state.extra}
         pred, target = diffuse_train_loss(
-            model, variables, clean, noisy, noise_schedule, rng, n_fft, hop
+            model, variables,
+            _maybe_cast(clean, compute_dtype),
+            _maybe_cast(noisy, compute_dtype),
+            noise_schedule, rng, n_fft, hop,
         )
-        return criterion(pred, target)
+        return criterion(pred.astype(jnp.float32), target.astype(jnp.float32))
 
     if train and tx is not None:
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -211,7 +232,8 @@ def diffuse_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "tx", "comp_type", "n_fft", "hop", "train"),
+    static_argnames=("model", "tx", "comp_type", "n_fft", "hop", "train",
+                     "compute_dtype"),
 )
 def tsc_diffusion_step(
     state: ModuleState,
@@ -226,6 +248,7 @@ def tsc_diffusion_step(
     n_fft: int = 400,
     hop: int = 100,
     train: bool = True,
+    compute_dtype=None,
 ):
     """Spectrogram-domain diffusion train/eval step
     (function.py:453-622): compressed STFTs of the diffused audio and the
@@ -235,7 +258,8 @@ def tsc_diffusion_step(
     rng_noise, rng_drop = jax.random.split(rng)
 
     def loss_fn(params):
-        variables = {"params": params, **state.extra}
+        variables = {"params": _maybe_cast(params, compute_dtype),
+                     **state.extra}
         c, n, _ = normalize_batch(clean, noisy)
         orig_spec = compressed_stft(n, n_fft, hop, comp_type=comp_type)
         noisy_audio, combine_noise, t = add_noise(
@@ -243,20 +267,30 @@ def tsc_diffusion_step(
         )
         noisy_spec = compressed_stft(noisy_audio, n_fft, hop,
                                      comp_type=comp_type)
+        if compute_dtype is not None:
+            # AMP-parity (function.py:482 autocast): model in bf16, STFT
+            # featurization and loss in fp32
+            spec_in = (jnp.real(noisy_spec).astype(compute_dtype),
+                       jnp.imag(noisy_spec).astype(compute_dtype))
+            orig_in = (jnp.real(orig_spec).astype(compute_dtype),
+                       jnp.imag(orig_spec).astype(compute_dtype))
+        else:
+            spec_in, orig_in = noisy_spec, orig_spec
         if train:
             (est_re, est_im), updates = model.apply(
-                variables, noisy_spec, orig_spec, t,
+                variables, spec_in, orig_in, t,
                 deterministic=False, rngs={"dropout": rng_drop},
                 mutable=["batch_stats"],
             )
             new_stats = updates["batch_stats"]
         else:
             est_re, est_im = model.apply(
-                variables, noisy_spec, orig_spec, t, deterministic=True
+                variables, spec_in, orig_in, t, deterministic=True
             )
             new_stats = state.extra.get("batch_stats", {})
         predicted = uncompressed_istft(
-            jax.lax.complex(est_re, est_im), n_fft, hop,
+            jax.lax.complex(est_re.astype(jnp.float32),
+                            est_im.astype(jnp.float32)), n_fft, hop,
             comp_type=comp_type, length=clean.shape[-1],
         )
         loss = jnp.mean(jnp.abs(predicted - combine_noise))
