@@ -35,6 +35,7 @@ from speech_enhancement_tpu.train import (
 )
 from speech_enhancement_tpu.utils import (
     AverageMeter,
+    PreemptionGuard,
     create_logger,
     latest_checkpoint,
     load_checkpoint,
@@ -176,6 +177,7 @@ def main(argv=None):
 
     state = replicate_state(mesh, state)
     rng = jax.random.PRNGKey((args.seed or 0) + 2)
+    guard = PreemptionGuard()
 
     compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
 
@@ -211,6 +213,11 @@ def main(argv=None):
             meter.update(loss, b)
             batch_meter.update(time.time() - t_end)
             t_end = time.time()
+            if guard.should_stop:
+                if rank == 0:
+                    save_checkpoint(jax.device_get(state), config.OUTPUT, epoch)
+                    logger.info(f"=> preemption checkpoint_{epoch:04d} saved")
+                return
             if idx % args.print_freq == 0:
                 logger.info(
                     f"Train: [{epoch}/{args.epochs}][{idx}/{iters_per_epoch}]\t"

@@ -42,6 +42,7 @@ from speech_enhancement_tpu.train import (
 )
 from speech_enhancement_tpu.utils import (
     AverageMeter,
+    PreemptionGuard,
     create_logger,
     latest_checkpoint,
     load_checkpoint,
@@ -185,6 +186,17 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     label_pool = ThreadPoolExecutor(max_workers=1)
+    guard = PreemptionGuard()
+
+    def emergency_checkpoint(epoch):
+        if rank == 0:
+            host_state = jax.device_get(state)
+            host_state = host_state.replace(best_loss=best_loss, epoch=epoch)
+            save_checkpoint(host_state, config.OUTPUT, epoch)
+            logger.info(
+                f"=> preemption checkpoint_{epoch:04d} saved; resume with "
+                f"--resume auto"
+            )
 
     def compute_q_est(batch, aux):
         est = np.asarray(aux.est_audio)
@@ -249,6 +261,9 @@ def main(argv=None):
             gen_meter.update(float(aux.metrics["loss"]), b)
             batch_meter.update(time.time() - t_end)
             t_end = time.time()
+            if guard.should_stop:
+                emergency_checkpoint(epoch)
+                return
             if idx % args.print_freq == 0:
                 logger.info(
                     f"Train: [{epoch}/{args.epochs}][{idx}/{iters_per_epoch}]\t"

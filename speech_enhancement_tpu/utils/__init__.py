@@ -9,6 +9,7 @@ from speech_enhancement_tpu.utils.logging import (
     ProgressMeter,
     create_logger,
 )
+from speech_enhancement_tpu.utils.preemption import PreemptionGuard
 from speech_enhancement_tpu.utils.profiling import (
     StepTimer,
     device_memory_stats,
@@ -17,6 +18,7 @@ from speech_enhancement_tpu.utils.profiling import (
 
 __all__ = [
     "AverageMeter",
+    "PreemptionGuard",
     "ProgressMeter",
     "StepTimer",
     "create_logger",
