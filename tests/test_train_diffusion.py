@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from speech_enhancement_tpu.models import DiffuSE, DiffusionTSCNet
 from speech_enhancement_tpu.train import (
@@ -56,6 +57,20 @@ def test_sample_waveform_runs(rng):
     assert out.shape == (B, L)
     assert np.all(np.isfinite(np.asarray(out)))
     assert float(jnp.max(jnp.abs(out))) <= 1.0  # final-step clamp
+
+
+@pytest.mark.slow
+def test_sample_waveform_full_50_steps(rng):
+    """BASELINE config #4: the full (non-fast) 50-step reverse process."""
+    model = DiffuSE(residual_layers=2, residual_channels=32, n_specs=201)
+    noisy = jnp.asarray(0.1 * rng.standard_normal((1, L)).astype(np.float32))
+    sched = inference_schedule(linear_noise_schedule(50))
+    assert len(sched.alpha) == 50
+    cond = jnp.ones((1, L // 100, 201))
+    vs = model.init(jax.random.PRNGKey(0), noisy, cond, jnp.array([0.0]))
+    out = sample_waveform(model, vs, noisy, sched, jax.random.PRNGKey(1))
+    assert out.shape == (1, L)
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_sample_tsc_runs(rng):
