@@ -36,13 +36,44 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, npad, d,
-                 scale):
-    # q/k/v_ref: [rows, npad, d]; rel_ref: [d, npad, npad] (d leading so the
-    # VMEM tiles stay lane-aligned); out: [rows, npad, d]
+def _attn_kernel(q_ref, k_ref, v_ref, band_ref, out_ref, *, rows, n, npad,
+                 d, w, scale):
+    """q/k/v_ref: [rows, npad, d]; band_ref: [d, w] where column
+    r = j - i + n - 1 holds E[clip(i - j)] (reversed-offset band) and
+    w = roundup(2n - 1 + pad, 128); out: [rows, npad, d].
+
+    Relative-position bias without gathers: one MXU matmul projects all
+    queries onto the band (QE[g, r] = q_g . band[:, r]), then each row g
+    is rolled RIGHT by its query index i = g mod npad — realized as
+    log2(npad) conditional constant rolls (the bitwise decomposition of
+    the per-row shift) — after which bias[i, j] sits at column j + n - 1.
+    """
     neg = jnp.float32(-1e30)
     col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
     pad_mask = col < n  # mask padded key columns
+
+    # 1. project every query row onto the band: [rows*npad, d] @ [d, w]
+    q_all = q_ref[...].reshape(rows * npad, d)
+    qe = jax.lax.dot_general(
+        q_all, band_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rows*npad, w]
+
+    # 2. variable per-row right-roll by i = g mod npad, bit by bit
+    g = jax.lax.broadcasted_iota(jnp.int32, (rows * npad, 1), 0)
+    i_idx = jax.lax.rem(g, npad)
+    shift_bits = max(1, (npad - 1).bit_length())
+    for b in range(shift_bits):
+        amount = 1 << b
+        rolled = pltpu.roll(qe, amount, axis=1)
+        take = jnp.logical_and(i_idx, amount) if False else (
+            jax.lax.bitwise_and(jax.lax.shift_right_logical(i_idx, b), 1) == 1
+        )
+        qe = jnp.where(take, rolled, qe)
+
+    # 3. bias[i, j] = qe_rolled[i, j + n - 1]
+    bias_all = qe[:, n - 1 : n - 1 + npad].reshape(rows, npad, npad)
+
     for rix in range(rows):
         q = q_ref[rix, :, :]  # [npad, d]
         k = k_ref[rix, :, :]
@@ -51,10 +82,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, npad, d,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [npad, npad]
-        bias = jnp.zeros((npad, npad), jnp.float32)
-        for dd in range(d):
-            bias = bias + q[:, dd][:, None] * rel_ref[dd, :, :]
-        dots = dots + bias * scale
+        dots = dots + bias_all[rix] * scale
         dots = jnp.where(pad_mask, dots, neg)
         m = jnp.max(dots, axis=1, keepdims=True)
         e = jnp.exp(dots - m)
@@ -73,7 +101,7 @@ def fused_shaw_attention(
     rel_table: jnp.ndarray,
     max_pos_emb: int = 512,
     scale: float | None = None,
-    row_tile: int = 8,
+    row_tile: int = 2,  # VMEM budget: qe + roll temp + blocks under 16 MB
 ) -> jnp.ndarray:
     """softmax(q k^T * scale + shaw_bias * scale) v, fused.
 
@@ -84,13 +112,13 @@ def fused_shaw_attention(
     if scale is None:
         scale = d**-0.5
     npad = _round_up(n, 128)
-
-    # rel[d, i, j] = table[clip(i - j), d] — one small XLA gather outside
-    idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
-                  -max_pos_emb, max_pos_emb) + max_pos_emb
-    rel = rel_table[jnp.asarray(idx)]  # [n, n, d]
-    rel = jnp.transpose(rel.astype(jnp.float32), (2, 0, 1))
-    rel = jnp.pad(rel, ((0, 0), (0, npad - n), (0, npad - n)))
+    # band column r = j - i + n - 1 holds E[i - j]  (reversed offsets);
+    # width covers the post-roll read window [n-1, n-1+npad)
+    w = _round_up(n - 1 + npad, 128)
+    offsets = np.clip(np.arange(n - 1, -n, -1), -max_pos_emb, max_pos_emb)
+    band = rel_table[jnp.asarray(offsets + max_pos_emb)]  # [2n-1, d]
+    band = jnp.pad(band.astype(jnp.float32), ((0, w - (2 * n - 1)), (0, 0)))
+    band = band.T  # [d, w]
 
     bh_pad = _round_up(bh, row_tile)
     def pad_rows(x):
@@ -101,7 +129,7 @@ def fused_shaw_attention(
     qp, kp, vp = pad_rows(q), pad_rows(k), pad_rows(v)
 
     kernel = functools.partial(
-        _attn_kernel, rows=row_tile, n=n, npad=npad, d=d, scale=scale
+        _attn_kernel, rows=row_tile, n=n, npad=npad, d=d, w=w, scale=scale
     )
     out = pl.pallas_call(
         kernel,
@@ -110,11 +138,11 @@ def fused_shaw_attention(
             pl.BlockSpec((row_tile, npad, d), index_map=lambda i: (i, 0, 0)),
             pl.BlockSpec((row_tile, npad, d), index_map=lambda i: (i, 0, 0)),
             pl.BlockSpec((row_tile, npad, d), index_map=lambda i: (i, 0, 0)),
-            pl.BlockSpec((d, npad, npad), index_map=lambda i: (0, 0, 0)),
+            pl.BlockSpec((d, w), index_map=lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((row_tile, npad, d),
                                index_map=lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bh_pad, npad, d), jnp.float32),
         interpret=_interpret(),
-    )(qp, kp, vp, rel)
+    )(qp, kp, vp, band)
     return out[:bh, :n, :]

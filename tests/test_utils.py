@@ -1,0 +1,81 @@
+"""Utility subsystem tests: meters, checkpointing, preemption, profiling."""
+
+import os
+import signal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_enhancement_tpu.utils import (
+    AverageMeter,
+    PreemptionGuard,
+    ProgressMeter,
+    StepTimer,
+    device_memory_stats,
+    latest_checkpoint,
+    load_checkpoint,
+    load_variables,
+    save_checkpoint,
+)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0 and m.val == 3.0
+    m.update(5.0, n=2)
+    assert abs(m.avg - 3.5) < 1e-9  # (1 + 3 + 5*2) / 4
+
+
+def test_progress_meter_prints(capsys):
+    m = AverageMeter()
+    m.update(0.5)
+    p = ProgressMeter(10, [m], prefix="Epoch: [0]")
+    p.display(3)
+    out = capsys.readouterr().out
+    assert "[ 3/10]" in out and "0.5" in out
+
+
+def test_checkpoint_roundtrip_and_best(tmp_path):
+    state = {
+        "params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    variables = {"w": jnp.ones((2,))}
+    p = save_checkpoint(state, str(tmp_path), 3, is_best=True,
+                        variables=variables)
+    assert p.endswith("checkpoint_0003")
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint_0003")
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = load_checkpoint(p, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
+    best = os.path.join(str(tmp_path), "model_best")
+    v = load_variables(best, {"w": jnp.zeros((2,))})
+    np.testing.assert_array_equal(np.asarray(v["w"]), np.ones((2,)))
+
+
+def test_preemption_guard():
+    guard = PreemptionGuard()
+    assert not guard.should_stop
+    os.kill(os.getpid(), signal.SIGTERM)
+    assert guard.should_stop
+    guard.restore()
+
+
+def test_step_timer():
+    t = StepTimer(window=3)
+    x = jnp.ones((4,))
+    for _ in range(5):
+        t.tick(x * 2)
+    assert len(t.times) == 3
+    assert t.avg > 0
+
+
+def test_device_memory_stats_shape():
+    stats = device_memory_stats()
+    assert isinstance(stats, list) and len(stats) >= 1
+    assert "device" in stats[0]
