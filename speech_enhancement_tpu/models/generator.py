@@ -127,31 +127,38 @@ class TSCB(nn.Module):
 
 
 class _TSCBScanCell(nn.Module):
-    """nn.scan cell wrapping TSCB: (carry, deterministic) -> (carry, None)."""
+    """nn.scan cell wrapping TSCB: (carry, _) -> (carry, None).
+    ``deterministic`` is a module attribute so the rematerialized call
+    signature stays purely dynamic-in-carry."""
 
     channels: int
     dropout: float = 0.2
     fused_attention: bool = False
+    deterministic: bool = True
 
     @nn.compact
-    def __call__(self, carry, deterministic):
+    def __call__(self, carry, _):
         y = TSCB(self.channels, self.dropout, self.fused_attention,
-                 name="block")(carry, deterministic)
+                 name="block")(carry, self.deterministic)
         return y, None
 
 
 def tscb_stack(channels: int, depth: int = 4, dropout: float = 0.2,
-               fused_attention: bool = False, name: str = "tscb_stack"):
-    """Stack of ``depth`` TSCBs as a single scanned block: XLA compiles ONE
-    conformer pair instead of ``depth`` (a ~4x compile-time cut); params
-    carry a leading [depth] axis."""
+               fused_attention: bool = False, deterministic: bool = True,
+               name: str = "tscb_stack"):
+    """Stack of ``depth`` TSCBs as a single scanned + rematerialized block:
+    XLA compiles ONE conformer pair instead of ``depth`` (a ~4x compile-time
+    cut), and the backward pass recomputes each block's activations instead
+    of saving depth x attention logits (without remat the SCP train step
+    needs ~26 GB of HBM at batch 8 — over the v5e's 16 GB).  Params carry
+    a leading [depth] axis."""
+    cell = nn.remat(_TSCBScanCell, prevent_cse=False)
     return nn.scan(
-        _TSCBScanCell,
+        cell,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True, "dropout": True},
-        in_axes=(nn.broadcast,),
         length=depth,
-    )(channels, dropout, fused_attention, name=name)
+    )(channels, dropout, fused_attention, deterministic, name=name)
 
 
 class SPConvTranspose2d(nn.Module):
@@ -244,9 +251,8 @@ class TSCNet(nn.Module):
 
         out = DenseEncoder(self.num_channel, name="dense_encoder")(x_in)
         out, _ = tscb_stack(self.num_channel, depth=4,
-                            fused_attention=self.fused_attention)(
-            out, deterministic
-        )
+                            fused_attention=self.fused_attention,
+                            deterministic=deterministic)(out, None)
 
         mask = MaskDecoder(self.num_features, self.num_channel,
                            name="mask_decoder")(out)
