@@ -95,6 +95,33 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
 
 
 @pytest.mark.slow
+def test_main_gan_resume_auto(tiny_dataset, monkeypatch):
+    """--resume auto restores epoch/best_loss and continues training
+    (main_gan.py:196-215 resume semantics)."""
+    root, cfg = tiny_dataset
+    out = root / "out_resume"
+    import speech_enhancement_tpu.cli.main_gan as mg
+
+    monkeypatch.setattr(
+        mg, "TSCNet", lambda num_channel, num_features: __import__(
+            "speech_enhancement_tpu.models", fromlist=["TSCNet"]
+        ).TSCNet(num_channel=8, num_features=num_features),
+    )
+    monkeypatch.setattr(
+        mg, "Discriminator", lambda ndf: __import__(
+            "speech_enhancement_tpu.models", fromlist=["Discriminator"]
+        ).Discriminator(ndf=4),
+    )
+    common = ["-a", "cmgan", "--cfg", cfg, "--output", str(out),
+              "--seed", "3", "-j", "2", "-p", "1", "--n-devices", "1"]
+    mg.main(common + ["--epochs", "1"])
+    assert (out / "cmgan" / "default" / "checkpoint_0000").exists()
+    mg.main(common + ["--epochs", "2", "--resume", "auto"])
+    # resumed run starts at epoch 1 and writes checkpoint_0001
+    assert (out / "cmgan" / "default" / "checkpoint_0001").exists()
+
+
+@pytest.mark.slow
 def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
     root, cfg = tiny_dataset
     out = root / "out_diff"
