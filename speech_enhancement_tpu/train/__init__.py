@@ -17,6 +17,7 @@ from speech_enhancement_tpu.train.gan import (
     gan_discriminator_step,
     gan_eval_step,
     gan_generator_step,
+    make_fused_gan_train_step,
     self_correcting_weights,
 )
 from speech_enhancement_tpu.train.optim import (
@@ -48,6 +49,7 @@ __all__ = [
     "l1_loss",
     "l2_loss",
     "linear_noise_schedule",
+    "make_fused_gan_train_step",
     "no_decay_mask",
     "sample_tsc",
     "sample_waveform",

@@ -26,6 +26,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from speech_enhancement_tpu.ops import (
@@ -352,6 +353,75 @@ def gan_discriminator_step(
         step=state.disc.step + 1,
     )
     return state.replace(disc=disc), disc_loss
+
+
+def make_fused_gan_train_step(
+    *,
+    gen_model,
+    disc_model,
+    gen_tx,
+    disc_tx,
+    arch: str = "scp",
+    criterion: Callable,
+    comp_type: str = "pow",
+    n_fft: int = 400,
+    hop: int = 100,
+    gan_active: bool = True,
+    loss_weights: tuple = (0.1, 0.9, 0.2, 0.05),
+    sample_rate: int = 16000,
+):
+    """Single-dispatch GAN train step: the whole generator + discriminator
+    update is ONE jitted call, with the PESQ labels entering through a
+    ``jax.experimental.io_callback`` to the native C++ batch engine.
+
+    This is the io_callback alternative sketched in SURVEY.md §7.6 to the
+    default two-phase pipeline (gan_generator_step + host labels +
+    gan_discriminator_step).  The two-phase form remains the default in
+    cli/main_gan because it can overlap label computation with the next
+    step (--async-disc); the fused form minimizes dispatch overhead and
+    keeps step semantics in one compiled program.
+
+    Returns ``step(state, clean, noisy, rng) -> (state, metrics)``.
+    """
+    from jax.experimental import io_callback
+
+    def host_labels(clean, est):
+        from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
+
+        scores = batch_pesq_raw(np.asarray(clean), np.asarray(est),
+                                sample_rate)
+        return ((scores - 1.0) / 3.5).astype(np.float32)
+
+    def step(state: GanTrainState, clean, noisy, rng):
+        rng_gen, rng_disc = jax.random.split(rng)
+        state, aux = gan_generator_step(
+            state, clean, noisy, rng_gen,
+            gen_model=gen_model, disc_model=disc_model, arch=arch,
+            criterion=criterion, comp_type=comp_type, gan_active=gan_active,
+            loss_weights=loss_weights, gen_tx=gen_tx,
+        )
+        if gan_active:
+            b = clean.shape[0]
+            spec = jax.ShapeDtypeStruct((b,), jnp.float32)
+            length = aux.est_audio.shape[-1]
+            q_est = io_callback(host_labels, spec, aux.clean_audio[:, :length],
+                                aux.est_audio)
+            q_clean = io_callback(host_labels, spec,
+                                  aux.clean_audio[:, :length],
+                                  aux.clean_audio[:, :length])
+            q_noisy = io_callback(host_labels, spec,
+                                  aux.clean_audio[:, :length],
+                                  aux.noisy_audio[:, :length])
+            state, disc_loss = gan_discriminator_step(
+                state, aux, q_est, q_clean, q_noisy, rng_disc,
+                disc_model=disc_model, arch=arch, criterion=criterion,
+                disc_tx=disc_tx,
+            )
+        else:
+            disc_loss = jnp.zeros(())
+        return state, {**aux.metrics, "disc_loss": disc_loss}
+
+    return jax.jit(step)
 
 
 @functools.partial(

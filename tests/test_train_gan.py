@@ -156,3 +156,31 @@ def test_self_correcting_weights_match_reference_algebra(seed):
         [jnp.asarray(gc)], [jnp.asarray(ge)], [jnp.asarray(gn)]
     )
     np.testing.assert_allclose([float(x) for x in got], want, rtol=1e-5)
+
+
+def test_fused_gan_train_step_single_dispatch(setup, rng):
+    """make_fused_gan_train_step: one jitted call runs generator update,
+    io_callback PESQ labels, and the self-correcting discriminator update."""
+    from speech_enhancement_tpu.train import make_fused_gan_train_step
+
+    gen, disc, gen_tx, disc_tx, state = setup
+    # pseudo-speech-ish tone so PESQ succeeds
+    t = np.arange(L) / 16000.0
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t) *
+            (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    clean = jnp.asarray(np.stack([tone, tone]))
+    noisy = clean + 0.02 * jnp.asarray(
+        rng.standard_normal((B, L)).astype(np.float32)
+    )
+    step = make_fused_gan_train_step(
+        gen_model=gen, disc_model=disc, gen_tx=gen_tx, disc_tx=disc_tx,
+        arch="scp", criterion=l2_loss, gan_active=True,
+    )
+    state2, metrics = step(state, clean, noisy, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["disc_loss"]))
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.disc.params, state2.disc.params,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
