@@ -203,13 +203,15 @@ class DataLoader:
         stop = threading.Event()
 
         def worker(batch_ids: list[int]):
-            slots = []
             for b in batch_ids:
                 if stop.is_set():
                     return
-                records = [self.dataset[int(i)] for i in batches[b]]
-                slots.append((b, self.collator.collate(records)))
-                out_q.put(slots.pop())
+                try:
+                    records = [self.dataset[int(i)] for i in batches[b]]
+                    out_q.put((b, self.collator.collate(records)))
+                except Exception as exc:  # surface worker failures
+                    out_q.put((b, exc))
+                    return
 
         # round-robin batch assignment keeps ordering deterministic per slot
         threads = [
@@ -227,6 +229,8 @@ class DataLoader:
             for _ in range(n_batches):
                 while next_emit not in received:
                     b, batch = out_q.get()
+                    if isinstance(batch, Exception):
+                        raise batch
                     received[b] = batch
                 yield received.pop(next_emit)
                 next_emit += 1

@@ -154,3 +154,17 @@ def test_config_packaged_overlays():
     cfg = load_config(os.path.join(pkg_dir, "cdiffuse_large.yaml"))
     assert len(cfg.NOISE_SCHEDULE) == 200
     assert cfg.RESIDUAL_CHANNELS == 144
+
+
+def test_dataloader_propagates_worker_errors(wav_dirs):
+    clean_dir, noisy_dir = wav_dirs
+
+    class BrokenDataset(VoicebankDataset):
+        def __getitem__(self, idx):
+            raise RuntimeError("boom")
+
+    ds = BrokenDataset(clean_dir, noisy_dir)
+    col = Collator(100, 160, rng=np.random.default_rng(0), silence_check=False)
+    dl = DataLoader(ds, 2, col, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(dl)
