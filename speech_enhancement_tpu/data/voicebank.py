@@ -17,7 +17,6 @@ Re-designs datasets/voicebank_dataset.py for a TPU input pipeline:
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
 from glob import glob

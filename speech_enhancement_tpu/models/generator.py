@@ -16,7 +16,6 @@ magnitude recombined with noisy phase plus the complex-residual decoder
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from speech_enhancement_tpu.models.conformer import ConformerBlock

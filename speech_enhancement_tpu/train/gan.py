@@ -22,7 +22,7 @@ Re-designs core/function.py:182-451 (+ :705-760) as pure jitted functions:
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ rebuilt on the functional diffuse_step.
 from __future__ import annotations
 
 import json
-import os
 import shutil
 import time
 from pathlib import Path
