@@ -112,25 +112,21 @@ class ShawAttention(nn.Module):
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
 
         # Shaw relative positions: logits[i, j] += q_i . E[clip(i-j)].
-        # Project q onto the (2n-1)-row band of the table (an MXU matmul),
-        # then remap [i, r] -> [i, j] with a constant (n, n) advanced-index
-        # gather (index tensor shared across batch/heads).  A skew
-        # (flatten/slice/reshape) variant measured ~10% slower end-to-end
-        # on v5e — the extra (2n-2)-wide reshape copy costs more than the
-        # gather here; see git history if revisiting.
+        # Gather the table ONCE into rel[i, j, d] (a tiny (n, n) static-index
+        # gather of the 1025-row table) and contract with q directly —
+        # pos_attn goes straight to [*, n, n] with no [*, n, 2n-1]
+        # intermediate and no gather over batched logits.  (Measured slower
+        # alternatives on v5e, see git history: banded matmul + logits
+        # gather; music-transformer skew.)
         table = self.param(
             "rel_pos_emb",
             nn.initializers.normal(1.0),
             (2 * self.max_pos_emb + 1, d),
         )
-        offsets = np.clip(np.arange(-(n - 1), n),
-                          -self.max_pos_emb, self.max_pos_emb)
-        band = jnp.asarray(table)[offsets + self.max_pos_emb]  # [2n-1, d]
-        # pos_logits[i, r] = q_i . band[r]; (i, j) maps to r = (i - j) + n - 1
-        pos_logits = jnp.einsum("bhid,rd->bhir", q, band.astype(q.dtype)) * scale
-        rows = np.arange(n)[:, None]
-        cols = rows - np.arange(n)[None, :] + n - 1  # [n, n] static
-        pos_attn = pos_logits[..., jnp.asarray(rows), jnp.asarray(cols)]
+        idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
+                      -self.max_pos_emb, self.max_pos_emb) + self.max_pos_emb
+        rel = jnp.asarray(table)[jnp.asarray(idx)].astype(q.dtype)  # [n, n, d]
+        pos_attn = jnp.einsum("bhid,ijd->bhij", q, rel) * scale
         dots = dots + pos_attn
 
         # softmax: max-subtraction bounds the exponent so bf16 logits are
