@@ -8,13 +8,20 @@ generator runtime.  This kernel keeps the entire attention for a tile of
 (batch*head) rows resident in VMEM: QK^T, the relative-position bias, the
 float32 softmax, and the value contraction all happen without touching HBM.
 
-The relative-position bias uses a precomputed ``rel[n, n, d]`` tensor
-(``rel[i, j] = E[clip(i - j)]``, built once outside with an XLA gather —
-n*n*d floats is small) and is applied in-kernel as d multiply-accumulate
-passes: bias[i, j] = sum_d q[i, d] * rel[i, j, d].
+The relative-position bias is computed gather-free: one MXU matmul
+projects the queries onto the reversed-offset band of the embedding
+table, and the [i, r] -> [i, j] remap becomes a variable per-row roll
+realized as log2(n) conditional constant rolls (the bitwise decomposition
+of the shift).
 
-Validated against the reference einsum attention in
-tests/test_pallas_attention.py (interpret mode on CPU).
+Status: numerically exact vs the XLA path (fp32 internals) but NOT
+faster on this v5e host — the 16 MB scoped-VMEM limit forces row_tile=2
+(thousands of grid programs) and Mosaic requires fp32 matmul
+accumulators, so the default model path stays on XLA
+(ShawAttention(fused=False)); kept as an opt-in kernel and a starting
+point for hosts with larger VMEM budgets.  Validated against the
+reference einsum attention in tests/test_pallas_attention.py
+(interpret mode on CPU).
 """
 
 from __future__ import annotations
@@ -53,6 +60,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, band_ref, out_ref, *, rows, n, npad,
     pad_mask = col < n  # mask padded key columns
 
     # 1. project every query row onto the band: [rows*npad, d] @ [d, w]
+    # (bf16 accumulation hits a Mosaic limitation — tpu.matmul requires an
+    # fp32 accumulator — so the roll chain runs fp32; row_tile sized for it)
     q_all = q_ref[...].reshape(rows * npad, d)
     qe = jax.lax.dot_general(
         q_all, band_ref[...], (((1,), (0,)), ((), ())),
@@ -66,9 +75,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, band_ref, out_ref, *, rows, n, npad,
     for b in range(shift_bits):
         amount = 1 << b
         rolled = pltpu.roll(qe, amount, axis=1)
-        take = jnp.logical_and(i_idx, amount) if False else (
-            jax.lax.bitwise_and(jax.lax.shift_right_logical(i_idx, b), 1) == 1
-        )
+        take = jax.lax.bitwise_and(
+            jax.lax.shift_right_logical(i_idx, b), 1
+        ) == 1
         qe = jnp.where(take, rolled, qe)
 
     # 3. bias[i, j] = qe_rolled[i, j + n - 1]
