@@ -97,3 +97,62 @@ def test_batchnorm_stats_are_global(mesh, rng):
     np.testing.assert_allclose(
         np.asarray(ref["var"]), np.asarray(got["var"]), rtol=1e-5
     )
+
+
+def test_sharded_discriminator_step_matches_single_device(mesh, rng):
+    """Full GAN step sharded: the self-correcting weights reduce flat-grad
+    dot products over *sharded* per-example grads (train/gan.py:248-267);
+    they must equal the unsharded full-batch result (function.py:705-760)."""
+    from speech_enhancement_tpu.train import gan_discriminator_step
+
+    gen = TSCNet(num_channel=8, num_features=201)
+    disc = Discriminator(ndf=4)
+    state0 = create_gan_state(
+        jax.random.PRNGKey(0), gen, disc, optax.sgd(1e-3), optax.sgd(1e-3),
+        length=L,
+    )
+    gen_tx = build_optimizer("sgd", 1e-3, state0.gen.params)
+    disc_tx = build_optimizer("sgd", 2e-3, state0.disc.params)
+    state = create_gan_state(jax.random.PRNGKey(0), gen, disc, gen_tx, disc_tx,
+                             length=L)
+
+    clean = 0.1 * rng.standard_normal((8, L)).astype(np.float32)
+    noisy = clean + 0.02 * rng.standard_normal((8, L)).astype(np.float32)
+    q_est = np.linspace(0.4, 0.9, 8).astype(np.float32)
+    q_clean = np.ones(8, np.float32)
+    q_noisy = np.linspace(0.2, 0.5, 8).astype(np.float32)
+
+    gen_kwargs = dict(gen_model=gen, disc_model=disc, arch="scp",
+                      criterion=l2_loss, gan_active=True, gen_tx=gen_tx)
+    disc_kwargs = dict(disc_model=disc, arch="scp", criterion=l2_loss,
+                       disc_tx=disc_tx)
+
+    # single device: generator step then discriminator step
+    s1, aux1 = gan_generator_step(
+        state, jnp.asarray(clean), jnp.asarray(noisy), jax.random.PRNGKey(1),
+        **gen_kwargs,
+    )
+    s1, dloss1 = gan_discriminator_step(
+        s1, aux1, jnp.asarray(q_est), jnp.asarray(q_clean),
+        jnp.asarray(q_noisy), jax.random.PRNGKey(2), **disc_kwargs,
+    )
+
+    # sharded over the mesh: same jitted steps, batch + labels sharded
+    state_r = replicate_state(mesh, state)
+    c_sh, n_sh = shard_batch(mesh, clean, noisy)
+    qe_sh, qc_sh, qn_sh = shard_batch(mesh, q_est, q_clean, q_noisy)
+    s2, aux2 = gan_generator_step(
+        state_r, c_sh, n_sh, jax.random.PRNGKey(1), **gen_kwargs
+    )
+    s2, dloss2 = gan_discriminator_step(
+        s2, aux2, qe_sh, qc_sh, qn_sh, jax.random.PRNGKey(2), **disc_kwargs,
+    )
+
+    np.testing.assert_allclose(float(dloss1), float(dloss2), rtol=2e-4)
+    a = jax.tree_util.tree_leaves(s1.disc.params)[0]
+    b = jax.tree_util.tree_leaves(s2.disc.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # spectral-norm power-iteration state must also stay in lockstep
+    u1 = jax.tree_util.tree_leaves(s1.disc.extra["spectral"])[0]
+    u2 = jax.tree_util.tree_leaves(s2.disc.extra["spectral"])[0]
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=2e-5)
