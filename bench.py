@@ -65,7 +65,10 @@ def main() -> None:
     from speech_enhancement_tpu.ops import compressed_stft
 
     length = int(UTT_SECONDS * SAMPLE_RATE)
-    model = TSCNet(num_channel=64, num_features=201)
+    # fused Pallas time-axis attention: whole-attention-in-VMEM kernel,
+    # 424 -> 336 ms/batch on v5e; output perceptually transparent vs the
+    # XLA path (PESQ 4.64, 1.75% rel RMS — ops/pallas_attention.py)
+    model = TSCNet(num_channel=64, num_features=201, fused_attention=True)
     spec = compressed_stft(jnp.zeros((1, length)), 400, 100)
     # jit the init: un-jitted flax init dispatches op-by-op (minutes over
     # the TPU tunnel); jitted it is one compile

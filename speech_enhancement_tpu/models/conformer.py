@@ -81,9 +81,6 @@ class ShawAttention(nn.Module):
         kv = nn.Dense(inner * 2, use_bias=False, kernel_init=kaiming_normal_init(),
                       name="to_kv")(x)
         k, v = jnp.split(kv, 2, axis=-1)
-        q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)
-        k = k.reshape(b, n, h, d).transpose(0, 2, 1, 3)
-        v = v.reshape(b, n, h, d).transpose(0, 2, 1, 3)
 
         if self.fused:
             from speech_enhancement_tpu.ops.pallas_attention import (
@@ -95,19 +92,25 @@ class ShawAttention(nn.Module):
                 nn.initializers.normal(1.0),
                 (2 * self.max_pos_emb + 1, d),
             )
+            # natural [b, n, h, d] layout straight into the kernel: no
+            # head transpose, no sequence pad — XLA-side relayouts around
+            # the kernel cost more than the kernel saves (module docs)
             out = fused_shaw_attention(
-                q.reshape(b * h, n, d),
-                k.reshape(b * h, n, d),
-                v.reshape(b * h, n, d),
+                q.reshape(b, n, h, d),
+                k.reshape(b, n, h, d),
+                v.reshape(b, n, h, d),
                 table,
                 max_pos_emb=self.max_pos_emb,
                 scale=scale,
             )
-            out = out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
             out = out.reshape(b, n, inner).astype(x.dtype)
             out = nn.Dense(self.dim, kernel_init=kaiming_normal_init(),
                            bias_init=bias_init_001, name="to_out")(out)
             return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+        q = q.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, h, d).transpose(0, 2, 1, 3)
 
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
 

@@ -113,11 +113,14 @@ class TSCB(nn.Module):
             + x_t
         )
         x_f = x_t.reshape(b, f, t, c).transpose(0, 2, 1, 3).reshape(b * t, f, c)
+        # freq axis stays on XLA even when fused_attention is set: at
+        # n~101 the fused kernel is MXU-issue-bound on tiny batched
+        # matmuls and loses to XLA's native chain (ops/pallas_attention.py)
         x_f = (
             ConformerBlock(
                 dim=c, dim_head=c // 4, heads=4,
                 attn_dropout=self.dropout, ff_dropout=self.dropout,
-                fused_attention=self.fused_attention,
+                fused_attention=False,
                 name="freq_conformer",
             )(x_f, deterministic)
             + x_f

@@ -1,27 +1,44 @@
 """Fused Shaw-relative-position attention (Pallas TPU).
 
 The conformer's axial attention runs at short sequence length (time ~161-321
-frames, freq ~101 bins) but huge folded batch (B*F or B*T up to thousands),
-so the [BH, n, n] logits (plus the [BH, n, 2n-1] relative-position
-projection) dominate HBM traffic in the XLA path — measured ~70% of
-generator runtime.  This kernel keeps the entire attention for a tile of
-(batch*head) rows resident in VMEM: QK^T, the relative-position bias, the
-float32 softmax, and the value contraction all happen without touching HBM.
+frames, freq ~101 bins) but huge folded batch (B*F or B*T up to tens of
+thousands), so the [BH, n, n] logits plus the relative-position projection
+dominate HBM traffic in the XLA path — the profiled bf16 serving step
+spends ~60% of its time there, including a 2.66 GB pure relayout copy per
+step that XLA is forced into because dot_general puts batch dims first
+(the rel einsum emits [i, j, b, h] while the logits live in [b, h, i, j]).
 
-The relative-position bias is computed gather-free: one MXU matmul
-projects the queries onto the reversed-offset band of the embedding
-table, and the [i, r] -> [i, j] remap becomes a variable per-row roll
-realized as log2(n) conditional constant rolls (the bitwise decomposition
-of the shift).
+This kernel keeps the entire attention for a tile of batch instances
+(all heads) resident in VMEM: QK^T, the relative-position bias, the
+float32 softmax, and the value contraction all happen without touching
+HBM.  Design rules learned from profiling on v5e:
 
-Status: numerically exact vs the XLA path (fp32 internals) but NOT
-faster on this v5e host — the 16 MB scoped-VMEM limit forces row_tile=2
-(thousands of grid programs) and Mosaic requires fp32 matmul
-accumulators, so the default model path stays on XLA
-(ShawAttention(fused=False)); kept as an opt-in kernel and a starting
-point for hosts with larger VMEM budgets.  Validated against the
-reference einsum attention in tests/test_pallas_attention.py
-(interpret mode on CPU).
+* operands stay in the model's natural [B, n, heads*d] layout (the Dense
+  output — well-packed 64-wide lanes).  An earlier version took
+  [B*heads, n, d]: the pads/head-transposes/slices XLA inserted to feed
+  it cost more than the kernel saved (~180 ms/step of pure relayout,
+  because a 16-wide minor dim wastes 7/8 of every vreg).  Heads are
+  extracted in-kernel with static lane slices;
+* the bias is ONE MXU dot_general batched over the query index i with all
+  (head, instance) rows packed into the M dim via leading-dim transposes
+  + a sublane concat: bias[i, h*rows + r, j] = q[r, i, h*d:] . rel[i, :, j];
+* per-row roll chains (round-1 v2) are ~10x slower (Mosaic lane rotates
+  are expensive), a VPU fma loop over d also loses, and Mosaic rejects
+  4D blocks indexed on a middle dim ("unsupported shape cast") — hence
+  the flat h*d layout.
+
+Semantics match models/conformer.py::ShawAttention (conformer.py:74-125 in
+the reference): softmax((q k^T + shaw_bias) * scale) v with
+bias[i, j] = q_i . E[clip(i - j, ±max_pos_emb)].
+
+Worth using where n is large enough that XLA's relayout dominates (the
+time axis, n~321); for the freq axis (n~101) XLA's native chain is faster
+than any fused variant measured — tiny batched matmuls are
+MXU-issue-bound — so TSCB only routes the time conformer here
+(fused_attention flag).
+
+Validated against the einsum reference in tests/test_pallas_attention.py
+(interpret mode on CPU; fp32 near-exact, bf16 to matmul tolerance).
 """
 
 from __future__ import annotations
@@ -43,64 +60,52 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, band_ref, out_ref, *, rows, n, npad,
-                 d, w, scale):
-    """q/k/v_ref: [rows, npad, d]; band_ref: [d, w] where column
-    r = j - i + n - 1 holds E[clip(i - j)] (reversed-offset band) and
-    w = roundup(2n - 1 + pad, 128); out: [rows, npad, d].
-
-    Relative-position bias without gathers: one MXU matmul projects all
-    queries onto the band (QE[g, r] = q_g . band[:, r]), then each row g
-    is rolled RIGHT by its query index i = g mod npad — realized as
-    log2(npad) conditional constant rolls (the bitwise decomposition of
-    the per-row shift) — after which bias[i, j] sits at column j + n - 1.
-    """
-    neg = jnp.float32(-1e30)
-    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
-    pad_mask = col < n  # mask padded key columns
-
-    # 1. project every query row onto the band: [rows*npad, d] @ [d, w]
-    # (bf16 accumulation hits a Mosaic limitation — tpu.matmul requires an
-    # fp32 accumulator — so the roll chain runs fp32; row_tile sized for it)
-    q_all = q_ref[...].reshape(rows * npad, d)
-    qe = jax.lax.dot_general(
-        q_all, band_ref[...], (((1,), (0,)), ((), ())),
+def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
+                 scale):
+    """q/k/v/out_ref: [rows, n, h*d]; rel_ref: [n, d, n] with
+    rel[i, :, j] = E[clip(i - j)]."""
+    # bias for ALL (head, instance) rows in one batched-over-i matmul
+    parts = [
+        jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
+        for hh in range(h)
+    ]  # each [n, rows, d]
+    qT = jnp.concatenate(parts, axis=1)  # [n, h*rows, d]
+    biasT = jax.lax.dot_general(
+        qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [rows*npad, w]
+    )  # [n(i), h*rows, n(j)]
 
-    # 2. variable per-row right-roll by i = g mod npad, bit by bit
-    g = jax.lax.broadcasted_iota(jnp.int32, (rows * npad, 1), 0)
-    i_idx = jax.lax.rem(g, npad)
-    shift_bits = max(1, (npad - 1).bit_length())
-    for b in range(shift_bits):
-        amount = 1 << b
-        rolled = pltpu.roll(qe, amount, axis=1)
-        take = jax.lax.bitwise_and(
-            jax.lax.shift_right_logical(i_idx, b), 1
-        ) == 1
-        qe = jnp.where(take, rolled, qe)
-
-    # 3. bias[i, j] = qe_rolled[i, j + n - 1]
-    bias_all = qe[:, n - 1 : n - 1 + npad].reshape(rows, npad, npad)
-
-    for rix in range(rows):
-        q = q_ref[rix, :, :]  # [npad, d]
-        k = k_ref[rix, :, :]
-        v = v_ref[rix, :, :]
+    outs = []
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
         dots = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q_ref[:, :, sl], k_ref[:, :, sl],
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # [npad, npad]
-        dots = dots + bias_all[rix] * scale
-        dots = jnp.where(pad_mask, dots, neg)
-        m = jnp.max(dots, axis=1, keepdims=True)
-        e = jnp.exp(dots - m)
-        s = jnp.sum(e, axis=1, keepdims=True)
-        attn = e / s
-        out_ref[rix, :, :] = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        )  # [rows, n(i), n(j)]
+        bias = jnp.transpose(
+            biasT[:, hh * rows:(hh + 1) * rows, :], (1, 0, 2)
         )
+        dots = (dots + bias) * scale
+        m = jnp.max(dots, axis=2, keepdims=True)
+        e = jnp.exp(dots - m)
+        s = jnp.sum(e, axis=2, keepdims=True)
+        attn = (e / s).astype(v_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            attn, v_ref[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
+
+
+def _auto_batch_tile(n: int, heads: int, vmem_budget: int = 44 << 20) -> int:
+    """Largest power-of-two batch tile whose fp32 working set fits the
+    budget: per batch instance, the unrolled head loop keeps ~2 fp32
+    logits-sized arrays live per head plus the all-head biasT."""
+    npad = _round_up(n, 128)
+    per_instance = 3 * heads * n * npad * 4
+    r = max(1, vmem_budget // per_instance)
+    return 1 << (int(r).bit_length() - 1)
 
 
 def fused_shaw_attention(
@@ -110,48 +115,55 @@ def fused_shaw_attention(
     rel_table: jnp.ndarray,
     max_pos_emb: int = 512,
     scale: float | None = None,
-    row_tile: int = 2,  # VMEM budget: qe + roll temp + blocks under 16 MB
+    batch_tile: int | None = None,
 ) -> jnp.ndarray:
-    """softmax(q k^T * scale + shaw_bias * scale) v, fused.
+    """softmax((q k^T + shaw_bias) * scale) v, fused, all heads.
 
-    ``q, k, v``: [BH, n, d]; ``rel_table``: [2*max_pos_emb + 1, d].
-    Returns [BH, n, d] float32.
+    ``q, k, v``: [B, n, heads, d] (the natural post-Dense layout split
+    into heads on the last axis — no head transpose needed);
+    ``rel_table``: [2*max_pos_emb + 1, d].
+    Returns [B, n, heads, d] in the dtype of ``q``.
     """
-    bh, n, d = q.shape
+    b, n, h, d = q.shape
+    dtype = q.dtype
     if scale is None:
         scale = d**-0.5
-    npad = _round_up(n, 128)
-    # band column r = j - i + n - 1 holds E[i - j]  (reversed offsets);
-    # width covers the post-roll read window [n-1, n-1+npad)
-    w = _round_up(n - 1 + npad, 128)
-    offsets = np.clip(np.arange(n - 1, -n, -1), -max_pos_emb, max_pos_emb)
-    band = rel_table[jnp.asarray(offsets + max_pos_emb)]  # [2n-1, d]
-    band = jnp.pad(band.astype(jnp.float32), ((0, w - (2 * n - 1)), (0, 0)))
-    band = band.T  # [d, w]
+    if batch_tile is None:
+        batch_tile = _auto_batch_tile(n, h)
+    # gather the [i, j] table once (tiny: n*n rows of the 2*max_pos_emb+1
+    # table) and lay it out [i, d, j] for the batched dot
+    idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
+                  -max_pos_emb, max_pos_emb) + max_pos_emb
+    rel = rel_table[jnp.asarray(idx)].astype(dtype)     # [i, j, d]
+    rel = jnp.transpose(rel, (0, 2, 1))                 # [i, d, j]
 
-    bh_pad = _round_up(bh, row_tile)
-    def pad_rows(x):
-        x = jnp.pad(x.astype(jnp.float32),
-                    ((0, bh_pad - bh), (0, npad - n), (0, 0)))
-        return x
-
-    qp, kp, vp = pad_rows(q), pad_rows(k), pad_rows(v)
+    qf, kf, vf = (x.reshape(b, n, h * d) for x in (q, k, v))
+    b_pad = _round_up(b, batch_tile)
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0), (0, 0))
+        qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
 
     kernel = functools.partial(
-        _attn_kernel, rows=row_tile, n=n, npad=npad, d=d, w=w, scale=scale
+        _attn_kernel, rows=batch_tile, n=n, h=h, d=d, scale=scale
     )
     out = pl.pallas_call(
         kernel,
-        grid=(bh_pad // row_tile,),
+        grid=(b_pad // batch_tile,),
         in_specs=[
-            pl.BlockSpec((row_tile, npad, d), index_map=lambda i: (i, 0, 0)),
-            pl.BlockSpec((row_tile, npad, d), index_map=lambda i: (i, 0, 0)),
-            pl.BlockSpec((row_tile, npad, d), index_map=lambda i: (i, 0, 0)),
-            pl.BlockSpec((d, w), index_map=lambda i: (0, 0)),
+            pl.BlockSpec((batch_tile, n, h * d),
+                         index_map=lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch_tile, n, h * d),
+                         index_map=lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch_tile, n, h * d),
+                         index_map=lambda i: (i, 0, 0)),
+            pl.BlockSpec((n, d, n), index_map=lambda i: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((row_tile, npad, d),
+        out_specs=pl.BlockSpec((batch_tile, n, h * d),
                                index_map=lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh_pad, npad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
-    )(qp, kp, vp, band)
-    return out[:bh, :n, :]
+    )(qf, kf, vf, rel)
+    return out[:b].reshape(b, n, h, d)

@@ -13,23 +13,27 @@ from speech_enhancement_tpu.ops.pallas_attention import fused_shaw_attention
 
 @pytest.mark.parametrize("n", [7, 101, 161])
 def test_fused_matches_reference_math(rng, n):
-    bh, d = 6, 8
-    q = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((bh, n, d)).astype(np.float32))
+    b, h, d = 3, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
     table = jnp.asarray(rng.standard_normal((1025, d)).astype(np.float32))
     scale = d**-0.5
 
     got = np.asarray(fused_shaw_attention(q, k, v, table, 512, scale))
 
-    dots = np.einsum("bid,bjd->bij", np.asarray(q), np.asarray(k)) * scale
+    qh = np.asarray(q).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kh = np.asarray(k).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    vh = np.asarray(v).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    dots = np.einsum("bid,bjd->bij", qh, kh) * scale
     tab = np.asarray(table)
     for i in range(n):
         for j in range(n):
-            dots[:, i, j] += (np.asarray(q)[:, i] @ tab[i - j + 512]) * scale
+            dots[:, i, j] += (qh[:, i] @ tab[i - j + 512]) * scale
     e = np.exp(dots - dots.max(-1, keepdims=True))
     attn = e / e.sum(-1, keepdims=True)
-    want = np.einsum("bij,bjd->bid", attn, np.asarray(v))
+    want = np.einsum("bij,bjd->bid", attn, vh)
+    want = want.reshape(b, h, n, d).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
