@@ -114,8 +114,9 @@ class TSCB(nn.Module):
         )
         x_f = x_t.reshape(b, f, t, c).transpose(0, 2, 1, 3).reshape(b * t, f, c)
         # freq axis stays on XLA even when fused_attention is set: at
-        # n~101 the fused kernel is MXU-issue-bound on tiny batched
-        # matmuls and loses to XLA's native chain (ops/pallas_attention.py)
+        # n~101 the fused kernel loses to XLA's native chain (345.9 vs
+        # 336.0 ms/batch measured end-to-end on v5e — tiny batched
+        # matmuls are MXU-issue-bound; see ops/pallas_attention.py)
         x_f = (
             ConformerBlock(
                 dim=c, dim_head=c // 4, heads=4,

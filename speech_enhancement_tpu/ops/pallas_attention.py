@@ -98,7 +98,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
     out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
 
 
-def _auto_batch_tile(n: int, heads: int, vmem_budget: int = 44 << 20) -> int:
+def _auto_batch_tile(n: int, heads: int, vmem_budget: int = 88 << 20) -> int:
     """Largest power-of-two batch tile whose fp32 working set fits the
     budget: per batch instance, the unrolled head loop keeps ~2 fp32
     logits-sized arrays live per head plus the all-head biasT."""
