@@ -1,0 +1,198 @@
+"""Training-to-quality proxy: prove the SCP-GAN recipe improves PESQ/STOI.
+
+No VoiceBank-DEMAND data exists in this environment, so this script
+validates the full training recipe (not just the step functions) on a
+synthetic corpus: speech-like harmonic carriers (pitch train + formant
+emphasis + syllabic envelope) degraded by lowpass-filtered noise at
+0-10 dB SNR.  It drives the REAL entry points end to end —
+``cli.main_gan`` for training and ``cli.inference_gan``'s checkpoint
+sweep for evaluation (reference inference_gan.py:134-152) — then writes
+``docs/quality_proxy_run.md`` and exits non-zero unless enhanced PESQ and
+STOI beat the noisy baseline.
+
+Usage (TPU, ~20-30 min including compiles):
+  python scripts/train_quality_proxy.py --root /tmp/quality_proxy
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+SR = 16000
+
+
+def synth_speech(rng: np.random.Generator, seconds: float) -> np.ndarray:
+    """Speech-like carrier: harmonic pulse train with random f0 contour,
+    formant-shaped spectrum, and a syllabic (2-6 Hz) amplitude envelope."""
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    f0 = rng.uniform(90, 220) * (1 + 0.08 * np.sin(2 * np.pi * rng.uniform(1, 3) * t))
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    sig = np.zeros(n)
+    formants = rng.uniform([400, 900, 2200], [800, 1800, 3200])
+    for k in range(1, 40):
+        fk = k * np.mean(f0)
+        if fk > 4000:
+            break
+        # formant emphasis: resonance-shaped harmonic amplitudes
+        amp = sum(1.0 / (1.0 + ((fk - F) / 220.0) ** 2) for F in formants)
+        sig += (amp / k ** 0.5) * np.sin(k * phase + rng.uniform(0, 2 * np.pi))
+    # syllabic envelope with soft pauses (never fully silent: the collator's
+    # PESQ silence gate and normalize_batch need energy)
+    env = 0.15 + 0.85 * np.clip(
+        np.sin(2 * np.pi * rng.uniform(2, 6) * t + rng.uniform(0, 2 * np.pi)),
+        0, None,
+    )
+    sig *= env
+    return (0.05 * sig / (np.sqrt((sig ** 2).mean()) + 1e-9)).astype(np.float32)
+
+
+def synth_noise(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Stationary pink-ish noise (one-pole lowpassed white noise)."""
+    w = rng.standard_normal(n + 1)
+    a = 0.9
+    out = np.empty(n + 1)
+    out[0] = w[0]
+    for i in range(1, n + 1):
+        out[i] = a * out[i - 1] + (1 - a) * w[i]
+    out = out[1:]
+    return (out / (np.sqrt((out ** 2).mean()) + 1e-9)).astype(np.float32)
+
+
+def make_corpus(root: str, n_train: int, n_test: int, seconds: float,
+                rng: np.random.Generator) -> None:
+    from speech_enhancement_tpu.data import save_wav
+
+    for split, count in (("train", n_train), ("test", n_test)):
+        cdir = os.path.join(root, split, "clean")
+        ndir = os.path.join(root, split, "noisy")
+        os.makedirs(cdir, exist_ok=True)
+        os.makedirs(ndir, exist_ok=True)
+        for i in range(count):
+            clean = synth_speech(rng, seconds)
+            noise = synth_noise(rng, len(clean))
+            snr_db = rng.uniform(0, 10)
+            rms_c = np.sqrt((clean ** 2).mean())
+            noise *= rms_c / (10 ** (snr_db / 20))
+            save_wav(os.path.join(cdir, f"u{i:04d}.wav"), clean, SR)
+            save_wav(os.path.join(ndir, f"u{i:04d}.wav"),
+                     (clean + noise).astype(np.float32), SR)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/quality_proxy")
+    ap.add_argument("--train-pairs", type=int, default=320)
+    ap.add_argument("--test-pairs", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--report", default="docs/quality_proxy_run.md")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(7)
+    print("synthesizing corpus ...", flush=True)
+    make_corpus(args.root, args.train_pairs, args.test_pairs, args.seconds,
+                rng)
+
+    from speech_enhancement_tpu.cli import inference_gan, main_gan
+    from speech_enhancement_tpu.data import load_wav
+    from speech_enhancement_tpu.metrics import compute_metrics
+
+    cfg = "speech_enhancement_tpu/config/scp.yaml"
+    out = os.path.join(args.root, "run")
+    opts = [
+        "--opts",
+        "DATA.TRAIN_CLEAN_DIR", f"{args.root}/train/clean",
+        "DATA.TRAIN_NOISY_DIR", f"{args.root}/train/noisy",
+        "DATA.TEST_CLEAN_DIR", f"{args.root}/test/clean",
+        "DATA.TEST_NOISY_DIR", f"{args.root}/test/noisy",
+        "DATA.BATCH_SIZE", str(args.batch_size),
+    ]
+
+    print("training SCP-GAN (full-size) ...", flush=True)
+    main_gan.main([
+        "-a", "scp", "--cfg", cfg, "--output", out,
+        "--epochs", str(args.epochs), "--optimizer", "adamw",
+        "--lr", "5e-4", "--criterion", "mse", "--gen-first",
+        "--async-disc", "--seed", "3", "-j", "4", "-p", "20",
+    ] + opts)
+
+    # noisy baseline on the test set
+    import glob as _glob
+    noisy_paths = sorted(_glob.glob(f"{args.root}/test/noisy/*.wav"))
+    base = np.zeros(6)
+    for p in noisy_paths:
+        clean, _ = load_wav(p.replace("noisy", "clean"), SR)
+        noisy, _ = load_wav(p, SR)
+        base += np.array(compute_metrics(clean, noisy, SR, 0))
+    base /= len(noisy_paths)
+
+    print("sweeping checkpoints ...", flush=True)
+    iargs, icfg = inference_gan.parse_option([
+        "--output", os.path.join(args.root, "enhanced"),
+        "--model_path", "unused", "--cfg", cfg, "--batch-size", "24",
+    ] + opts)
+    ckpt_dir = os.path.join(out, "scp", "default")
+    rows = []
+    for epoch in range(args.epochs):
+        mp = os.path.join(ckpt_dir, f"checkpoint_{epoch:04d}")
+        if not os.path.isdir(mp):
+            continue
+        m = inference_gan.inference(iargs, icfg, mp, noisy_paths)
+        m /= len(noisy_paths)
+        rows.append((epoch, m))
+        print(f"epoch {epoch}: pesq {m[0]:.3f} stoi {m[5]:.3f}", flush=True)
+
+    lines = [
+        "# Training-to-quality proxy run (synthetic corpus)",
+        "",
+        "Full-size SCP-GAN trained from scratch with `cli.main_gan` on a",
+        f"synthetic speech-like corpus ({args.train_pairs} train pairs, "
+        f"{args.seconds:.0f}s, 0-10 dB SNR pink noise), evaluated with the",
+        "`cli.inference_gan` checkpoint sweep on held-out pairs",
+        "(reference inference_gan.py:134-152). Generated by",
+        "`scripts/train_quality_proxy.py` on one TPU v5e chip.",
+        "",
+        "| checkpoint | PESQ | CSIG | CBAK | COVL | SSNR | STOI |",
+        "|---|---|---|---|---|---|---|",
+        "| noisy (baseline) | " + " | ".join(f"{v:.3f}" for v in base) + " |",
+    ]
+    for epoch, m in rows:
+        lines.append(f"| epoch {epoch} | " +
+                     " | ".join(f"{v:.3f}" for v in m) + " |")
+    best = max(rows, key=lambda r: r[1][0])
+    lines += [
+        "",
+        f"Best epoch {best[0]}: PESQ {best[1][0]:.3f} vs noisy {base[0]:.3f} "
+        f"(Δ {best[1][0] - base[0]:+.3f}); "
+        f"STOI {best[1][5]:.3f} vs {base[5]:.3f} "
+        f"(Δ {best[1][5] - base[5]:+.3f}).",
+    ]
+    os.makedirs(os.path.dirname(args.report), exist_ok=True)
+    with open(args.report, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[-2:]))
+
+    ok = best[1][0] > base[0] and best[1][5] >= base[5]
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -181,7 +181,7 @@ def _maybe_cast(tree, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "criterion", "tx", "n_fft", "hop", "train",
-                     "compute_dtype"),
+                     "compute_dtype", "return_grad_norm"),
 )
 def diffuse_step(
     state: ModuleState,
@@ -197,13 +197,16 @@ def diffuse_step(
     hop: int = 100,
     train: bool = True,
     compute_dtype=None,
+    return_grad_norm: bool = False,
 ):
     """Waveform DiffuSE train/eval step (function.py:45-125).  With
     ``train=False`` (or tx=None) no update is applied.
     ``compute_dtype=jnp.bfloat16`` is the TPU analogue of the reference's
     AMP autocast (function.py:83): the model runs in bf16 with fp32
     master params and an fp32 loss (no GradScaler needed for bf16).
-    Returns (state, loss)."""
+    Returns (state, loss), or (state, loss, grad_norm) with
+    ``return_grad_norm=True`` (the reference learner logs the pre-clip
+    global grad norm, cdiffuse/learner.py:165,176)."""
 
     def loss_fn(params):
         # cast params only; auxiliary stats (e.g. BatchNorm running
@@ -218,8 +221,10 @@ def diffuse_step(
         )
         return criterion(pred.astype(jnp.float32), target.astype(jnp.float32))
 
+    grad_norm = jnp.zeros(())
     if train and tx is not None:
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         state = state.replace(
@@ -227,6 +232,8 @@ def diffuse_step(
         )
     else:
         loss = loss_fn(state.params)
+    if return_grad_norm:
+        return state, loss, grad_norm
     return state, loss
 
 

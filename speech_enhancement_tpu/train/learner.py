@@ -85,11 +85,12 @@ class DiffuSELearner:
                     continue
                 rng, step_rng = jax.random.split(rng)
                 t0 = time.time()
-                self.state, loss = diffuse_step(
+                self.state, loss, grad_norm = diffuse_step(
                     self.state, batch.audio, batch.noisy,
                     self.noise_schedule, step_rng,
                     model=self.model, criterion=self.criterion, tx=self.tx,
                     n_fft=self.n_fft, hop=self.hop, train=True,
+                    return_grad_norm=True,
                 )
                 loss = float(loss)
                 if not np.isfinite(loss):
@@ -97,16 +98,45 @@ class DiffuSELearner:
                         f"Detected NaN loss at step {self.step}."
                     )
                 if self.step % self.summary_every == 0:
-                    self._write_summary(loss, time.time() - t0)
+                    self._write_summary(loss, time.time() - t0,
+                                        float(grad_norm), batch)
                 self.step += 1
             self.save_to_checkpoint()
 
-    def _write_summary(self, loss: float, step_time: float) -> None:
-        rec = {"step": self.step, "loss": loss, "step_time": step_time}
+    def _write_summary(self, loss: float, step_time: float,
+                       grad_norm: float = 0.0, batch=None) -> None:
+        """Summaries matching the reference's tensorboard set
+        (cdiffuse/learner.py:170-177): train loss + grad norm as scalars,
+        plus an audio sample and its conditioner spectrogram as artifacts
+        under ``summaries/`` (wav + npy stand in for add_audio/add_image;
+        no tensorboard writer is assumed on a TPU VM)."""
+        rec = {"step": self.step, "loss": loss, "grad_norm": grad_norm,
+               "step_time": step_time}
         with open(self.model_dir / "summary.jsonl", "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if batch is not None and getattr(batch, "audio", None) is not None \
+                and len(batch.audio):
+            from speech_enhancement_tpu.data import save_wav
+
+            sdir = self.model_dir / "summaries"
+            sdir.mkdir(exist_ok=True)
+            audio = np.asarray(batch.audio[0], np.float32)
+            save_wav(sdir / f"step_{self.step:06d}_audio.wav", audio)
+            spec = getattr(batch, "spectrogram", None)
+            if spec is None:
+                from speech_enhancement_tpu.data.preprocess import (
+                    make_spectrum,
+                )
+                spec, _, _ = make_spectrum(
+                    y=audio, frame_length=self.n_fft, shift=self.hop
+                )
+            else:
+                spec = np.asarray(spec[0])
+            np.save(sdir / f"step_{self.step:06d}_spectrogram.npy", spec)
         if self.logger:
-            self.logger.info(f"step {self.step}: loss {loss:.5f}")
+            self.logger.info(
+                f"step {self.step}: loss {loss:.5f} grad_norm {grad_norm:.3f}"
+            )
 
 
 def load_pretrain_params(state: ModuleState, pretrain_state: ModuleState):

@@ -99,7 +99,18 @@ def build_optimizer(
             momentum=momentum,
         )
     elif name == "lamb":
-        tx = optax.lamb(learning_rate, weight_decay=weight_decay, mask=mask)
+        # the reference Lamb clips the global grad norm INSIDE the
+        # optimizer before the moment updates (core/optimizer.py:156-173,
+        # documented default max_grad_norm=1.0).  Reproduce that built-in
+        # pre-clip here: max_norm if given, else the Lamb default 1.0.
+        # (Passing --max-norm 0.0 to the reference actually divides by
+        # zero inside its Lamb and silently zeroes every update — we use
+        # the documented 1.0 default instead of reproducing the bug.)
+        tx = optax.chain(
+            optax.clip_by_global_norm(max_norm if max_norm else 1.0),
+            optax.lamb(learning_rate, weight_decay=weight_decay, mask=mask),
+        )
+        return tx
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     if max_norm and max_norm > 0.0:

@@ -79,3 +79,28 @@ def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert isinstance(stats, list) and len(stats) >= 1
     assert "device" in stats[0]
+
+
+def test_lamb_builtin_preclip():
+    """Reference Lamb pre-clips the global grad norm inside the optimizer
+    (core/optimizer.py:156-173, default max_grad_norm=1.0): updates from
+    grads with norm 100 must equal updates from the same grads scaled to
+    norm 1."""
+    import jax.numpy as jnp
+    import optax
+
+    from speech_enhancement_tpu.train import build_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = build_optimizer("lamb", 1e-3, params)
+    big = {"w": jnp.full((4, 4), 25.0), "b": jnp.full((4,), 5.0)}
+    norm = float(optax.global_norm(big))
+    small = jax.tree_util.tree_map(lambda g: g / norm, big)
+
+    s1 = tx.init(params)
+    u1, _ = tx.update(big, s1, params)
+    s2 = tx.init(params)
+    u2, _ = tx.update(small, s2, params)
+    for a, b in zip(jax.tree_util.tree_leaves(u1),
+                    jax.tree_util.tree_leaves(u2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
