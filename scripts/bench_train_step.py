@@ -1,0 +1,239 @@
+"""GAN train-step throughput: two-phase (sync / async labels) vs fused.
+
+Measures steps/s of the full-size SCP-GAN training step (TSCNet-64 +
+metric discriminator, batch 8 x 1 s — the hardware-validated training
+config) in the three dispatch modes the framework offers:
+
+- ``sync``  — gan_generator_step, host PESQ labels, gan_discriminator_step
+              (reference semantics: function.py:218-313, strictly serial)
+- ``async`` — same two jitted phases, but the PESQ labels for step N are
+              computed on a host thread while step N+1's generator phase
+              runs (cli/main_gan.py --async-disc pipeline)
+- ``fused`` — ONE jitted dispatch: generator update + io_callback PESQ
+              labels + self-correcting discriminator update
+              (train/gan.py::make_fused_gan_train_step)
+
+Writes docs/TRAIN_BENCH.md and prints one JSON line per mode.  The winner
+is what cli/main_gan should default to.
+
+Usage (TPU): python scripts/bench_train_step.py [--steps 20] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+
+SR = 16000
+
+
+def make_batches(rng: np.ndarray, n: int, batch: int, length: int):
+    """Speech-ish tones (PESQ needs voiced energy), distinct per step —
+    the axon runtime memoizes repeated executions on identical buffers."""
+    t = np.arange(length) / SR
+    out = []
+    for i in range(n):
+        f0 = 160.0 + 10.0 * (i % 7)
+        tone = (0.3 * np.sin(2 * np.pi * f0 * t) *
+                (0.55 + 0.45 * np.sin(2 * np.pi * 3.1 * t)))
+        clean = np.stack([tone * (1.0 + 0.01 * j) for j in range(batch)])
+        noisy = clean + 0.05 * rng.standard_normal((batch, length))
+        out.append((clean.astype(np.float32), noisy.astype(np.float32)))
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=1.0)
+    args = p.parse_args()
+
+    from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
+    from speech_enhancement_tpu.models import Discriminator, TSCNet
+    from speech_enhancement_tpu.train import (
+        build_optimizer,
+        create_gan_state,
+        gan_discriminator_step,
+        gan_generator_step,
+        l2_loss,
+        make_fused_gan_train_step,
+    )
+
+    length = int(args.seconds * SR)
+    gen = TSCNet(num_channel=64, num_features=201)
+    disc = Discriminator(ndf=16)
+
+    import optax
+
+    probe = create_gan_state(
+        jax.random.PRNGKey(0), gen, disc, optax.sgd(1e-3), optax.sgd(1e-3),
+        length=length,
+    )
+    gen_tx = build_optimizer("adamw", 5e-4, probe.gen.params)
+    disc_tx = build_optimizer("adamw", 1e-3, probe.disc.params)
+    state0 = create_gan_state(
+        jax.random.PRNGKey(0), gen, disc, gen_tx, disc_tx, length=length
+    )
+
+    rng = np.random.default_rng(0)
+    n_total = args.warmup + args.steps
+    batches = make_batches(rng, n_total, args.batch, length)
+    # collator-precomputed labels (PESQ(clean,clean)=ceiling, PESQ(clean,noisy))
+    q_clean = jnp.asarray(
+        (batch_pesq_raw(batches[0][0], batches[0][0]) - 1.0) / 3.5, jnp.float32
+    )
+    q_noisy = jnp.asarray(
+        (batch_pesq_raw(batches[0][0], batches[0][1]) - 1.0) / 3.5, jnp.float32
+    )
+
+    def q_est_of(clean, aux):
+        est = np.asarray(aux.est_audio)
+        return jnp.asarray(
+            (batch_pesq_raw(clean[:, : est.shape[1]], est) - 1.0) / 3.5,
+            jnp.float32,
+        )
+
+    results = {}
+
+    # ---- two-phase, synchronous labels
+    def run_sync():
+        state, key = state0, jax.random.PRNGKey(1)
+        t0 = None
+        for i, (clean, noisy) in enumerate(batches):
+            if i == args.warmup:
+                jax.block_until_ready(state.gen.params)
+                t0 = time.perf_counter()
+            key, kg, kd = jax.random.split(key, 3)
+            state, aux = gan_generator_step(
+                state, jnp.asarray(clean), jnp.asarray(noisy), kg,
+                gen_model=gen, disc_model=disc, arch="scp",
+                criterion=l2_loss, gan_active=True, gen_tx=gen_tx,
+            )
+            q_est = q_est_of(clean, aux)
+            state, _ = gan_discriminator_step(
+                state, aux, q_est, q_clean, q_noisy, kd,
+                disc_model=disc, arch="scp", criterion=l2_loss,
+                disc_tx=disc_tx,
+            )
+        jax.block_until_ready(state.disc.params)
+        return time.perf_counter() - t0
+
+    # ---- two-phase, async labels (one-deep pipeline, as cli --async-disc)
+    def run_async():
+        state, key = state0, jax.random.PRNGKey(1)
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = None
+        t0 = None
+        for i, (clean, noisy) in enumerate(batches):
+            if i == args.warmup:
+                jax.block_until_ready(state.gen.params)
+                t0 = time.perf_counter()
+            key, kg, kd = jax.random.split(key, 3)
+            if pending is not None:
+                p_aux, fut, p_kd = pending
+                state, _ = gan_discriminator_step(
+                    state, p_aux, fut.result(), q_clean, q_noisy, p_kd,
+                    disc_model=disc, arch="scp", criterion=l2_loss,
+                    disc_tx=disc_tx,
+                )
+            state, aux = gan_generator_step(
+                state, jnp.asarray(clean), jnp.asarray(noisy), kg,
+                gen_model=gen, disc_model=disc, arch="scp",
+                criterion=l2_loss, gan_active=True, gen_tx=gen_tx,
+            )
+            pending = (aux, pool.submit(q_est_of, clean, aux), kd)
+        p_aux, fut, p_kd = pending
+        state, _ = gan_discriminator_step(
+            state, p_aux, fut.result(), q_clean, q_noisy, p_kd,
+            disc_model=disc, arch="scp", criterion=l2_loss, disc_tx=disc_tx,
+        )
+        jax.block_until_ready(state.disc.params)
+        pool.shutdown()
+        return time.perf_counter() - t0
+
+    # ---- fused single dispatch
+    def run_fused():
+        step = make_fused_gan_train_step(
+            gen_model=gen, disc_model=disc, gen_tx=gen_tx, disc_tx=disc_tx,
+            arch="scp", criterion=l2_loss, gan_active=True,
+        )
+        state, key = state0, jax.random.PRNGKey(1)
+        t0 = None
+        for i, (clean, noisy) in enumerate(batches):
+            if i == args.warmup:
+                jax.block_until_ready(state.gen.params)
+                t0 = time.perf_counter()
+            key, k = jax.random.split(key)
+            state, metrics = step(
+                state, jnp.asarray(clean), jnp.asarray(noisy), k,
+                q_clean, q_noisy,
+            )
+        jax.block_until_ready(state.disc.params)
+        return time.perf_counter() - t0
+
+    errors = {}
+    for name, fn in (("sync", run_sync), ("async", run_async),
+                     ("fused", run_fused)):
+        try:
+            dt = fn()
+        except Exception as e:  # e.g. axon: no host send/recv callbacks
+            errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0]}"
+            print(json.dumps({"mode": name, "error": errors[name]}))
+            continue
+        sps = args.steps / dt
+        results[name] = sps
+        print(json.dumps({
+            "mode": name, "steps_per_sec": round(sps, 3),
+            "ms_per_step": round(1000 * dt / args.steps, 1),
+            "batch": args.batch, "utt_seconds": args.seconds,
+        }))
+
+    winner = max(results, key=results.get)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = "".join(
+        f"| {m} | {results[m]:.3f} | {1000 / results[m]:.1f} |\n"
+        for m in ("sync", "async", "fused") if m in results
+    ) + "".join(
+        f"| {m} | n/a | n/a ({errors[m]}) |\n"
+        for m in ("sync", "async", "fused") if m in errors
+    )
+    with open(os.path.join(here, "docs", "TRAIN_BENCH.md"), "w") as f:
+        f.write(
+            "# GAN train-step dispatch benchmark\n\n"
+            f"Full-size SCP-GAN (TSCNet-64 + metric discriminator), batch "
+            f"{args.batch} x {args.seconds:.0f}s, {args.steps} measured "
+            "steps on one TPU chip.  Modes: two-phase with synchronous "
+            "host PESQ labels, two-phase with the --async-disc one-deep "
+            "label pipeline (cli/main_gan.py), and the single-dispatch "
+            "io_callback step (train/gan.py::make_fused_gan_train_step).  "
+            "Reference cost center: function.py:283-301.\n\n"
+            "| mode | steps/s | ms/step |\n|---|---|---|\n" + rows
+            + f"\nWinner: **{winner}** — cli/main_gan defaults accordingly "
+            "(override with --step-mode).\n"
+        )
+    print(json.dumps({"winner": winner, "errors": errors}))
+
+
+if __name__ == "__main__":
+    main()

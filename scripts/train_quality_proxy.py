@@ -130,7 +130,7 @@ def main() -> int:
         "-a", "scp", "--cfg", cfg, "--output", out,
         "--epochs", str(args.epochs), "--optimizer", "adamw",
         "--lr", "5e-4", "--criterion", "mse", "--gen-first",
-        "--async-disc", "--seed", "3", "-j", "4", "-p", "20",
+        "--seed", "3", "-j", "4", "-p", "20",
     ] + opts)
 
     # noisy baseline on the test set

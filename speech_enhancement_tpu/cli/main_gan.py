@@ -39,6 +39,7 @@ from speech_enhancement_tpu.train import (
     gan_discriminator_step,
     gan_eval_step,
     gan_generator_step,
+    make_fused_gan_train_step,
 )
 from speech_enhancement_tpu.utils import (
     AverageMeter,
@@ -79,8 +80,18 @@ def parse_option(argv=None):
     parser.add_argument("--gen-first", action="store_true")
     parser.add_argument(
         "--async-disc", action="store_true",
-        help="pipeline PESQ label computation with the next generator step "
-             "(discriminator update lags one step; hides the host PESQ cost)",
+        help="alias for --step-mode async",
+    )
+    parser.add_argument(
+        "--step-mode", default=None,
+        choices=["two-phase", "async", "fused"],
+        help="train-step dispatch: two jitted phases with synchronous host "
+             "PESQ labels ('two-phase'), the one-deep label pipeline "
+             "('async': discriminator update lags one step; hides the host "
+             "PESQ cost when labels are expensive), or one fused jit with "
+             "io_callback labels ('fused'; needs a backend with host "
+             "callbacks — axon-tunneled chips lack them).  Default: "
+             "two-phase — fastest measured on v5e (docs/TRAIN_BENCH.md)",
     )
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
@@ -91,6 +102,15 @@ def parse_option(argv=None):
     parser.add_argument("--num-processes", default=None, type=int)
     parser.add_argument("--process-id", default=None, type=int)
     args = parser.parse_args(argv)
+    if args.step_mode is None:
+        # sync two-phase is the fastest measured on v5e (the threaded C++
+        # PESQ labels cost less than the pipeline's extra dispatch lag —
+        # docs/TRAIN_BENCH.md); --async-disc keeps its old meaning
+        args.step_mode = "async" if args.async_disc else "two-phase"
+    elif args.async_disc and args.step_mode != "async":
+        parser.error("--async-disc conflicts with --step-mode "
+                     f"{args.step_mode}")
+    args.async_disc = args.step_mode == "async"
     config = get_config(args)
     return args, config
 
@@ -188,6 +208,19 @@ def main(argv=None):
     label_pool = ThreadPoolExecutor(max_workers=1)
     guard = PreemptionGuard()
 
+    fused_steps = {}
+
+    def get_fused_step(active: bool):
+        # one compile per gan_active value (flips once at 0.3*epochs)
+        if active not in fused_steps:
+            fused_steps[active] = make_fused_gan_train_step(
+                gen_model=gen_model, disc_model=disc_model,
+                gen_tx=gen_tx, disc_tx=disc_tx, arch=args.arch,
+                criterion=criterion, comp_type=args.comp_type,
+                gan_active=active, loss_weights=loss_weights,
+            )
+        return fused_steps[active]
+
     def emergency_checkpoint(epoch):
         if rank == 0:
             host_state = jax.device_get(state)
@@ -233,6 +266,33 @@ def main(argv=None):
                 )
                 disc_meter.update(float(disc_loss), p_b)
                 pending = None
+
+            if args.step_mode == "fused":
+                # single dispatch: generator update + io_callback PESQ
+                # labels + discriminator update in one compiled program
+                step = get_fused_step(gan_active)
+                state, metrics = step(
+                    state, clean, noisy, step_rng,
+                    jnp.asarray(batch.pesq_clean),
+                    jnp.asarray(batch.pesq_noisy),
+                )
+                gen_meter.update(float(metrics["loss"]), b)
+                if gan_active:
+                    disc_meter.update(float(metrics["disc_loss"]), b)
+                batch_meter.update(time.time() - t_end)
+                t_end = time.time()
+                if guard.should_stop:
+                    emergency_checkpoint(epoch)
+                    return
+                if idx % args.print_freq == 0:
+                    logger.info(
+                        f"Train: [{epoch}/{args.epochs}]"
+                        f"[{idx}/{iters_per_epoch}]\t"
+                        f"time {batch_meter.val:.4f} ({batch_meter.avg:.4f})\t"
+                        f"generator loss {gen_meter}\t"
+                        f"discriminator loss {disc_meter}"
+                    )
+                continue
 
             state, aux = gan_generator_step(
                 state, clean, noisy, step_rng,

@@ -376,12 +376,17 @@ def make_fused_gan_train_step(
 
     This is the io_callback alternative sketched in SURVEY.md §7.6 to the
     default two-phase pipeline (gan_generator_step + host labels +
-    gan_discriminator_step).  The two-phase form remains the default in
-    cli/main_gan because it can overlap label computation with the next
-    step (--async-disc); the fused form minimizes dispatch overhead and
-    keeps step semantics in one compiled program.
+    gan_discriminator_step).  The fused form minimizes dispatch overhead
+    and keeps step semantics in one compiled program, but requires a
+    backend with host send/recv callbacks: axon-tunneled TPUs reject
+    io_callback with UNIMPLEMENTED (docs/TRAIN_BENCH.md), so two-phase
+    stays the cli/main_gan default (--step-mode switches).
 
-    Returns ``step(state, clean, noisy, rng) -> (state, metrics)``.
+    Returns ``step(state, clean, noisy, rng, q_clean=None, q_noisy=None)
+    -> (state, metrics)``.  ``q_clean`` / ``q_noisy`` are the normalized
+    PESQ labels the data collator precomputes (as cli/main_gan does —
+    PESQ(clean, clean) and PESQ(clean, noisy) never change across epochs);
+    when omitted they are computed through io_callback too.
     """
     from jax.experimental import io_callback
 
@@ -392,7 +397,8 @@ def make_fused_gan_train_step(
                                 sample_rate)
         return ((scores - 1.0) / 3.5).astype(np.float32)
 
-    def step(state: GanTrainState, clean, noisy, rng):
+    def step(state: GanTrainState, clean, noisy, rng,
+             q_clean=None, q_noisy=None):
         rng_gen, rng_disc = jax.random.split(rng)
         state, aux = gan_generator_step(
             state, clean, noisy, rng_gen,
@@ -406,12 +412,14 @@ def make_fused_gan_train_step(
             length = aux.est_audio.shape[-1]
             q_est = io_callback(host_labels, spec, aux.clean_audio[:, :length],
                                 aux.est_audio)
-            q_clean = io_callback(host_labels, spec,
-                                  aux.clean_audio[:, :length],
-                                  aux.clean_audio[:, :length])
-            q_noisy = io_callback(host_labels, spec,
-                                  aux.clean_audio[:, :length],
-                                  aux.noisy_audio[:, :length])
+            if q_clean is None:
+                q_clean = io_callback(host_labels, spec,
+                                      aux.clean_audio[:, :length],
+                                      aux.clean_audio[:, :length])
+            if q_noisy is None:
+                q_noisy = io_callback(host_labels, spec,
+                                      aux.clean_audio[:, :length],
+                                      aux.noisy_audio[:, :length])
             state, disc_loss = gan_discriminator_step(
                 state, aux, q_est, q_clean, q_noisy, rng_disc,
                 disc_model=disc_model, arch=arch, criterion=criterion,

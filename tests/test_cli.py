@@ -94,6 +94,24 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     assert len(saved) == 2
 
 
+def test_step_mode_flag(tiny_dataset):
+    """--step-mode selection and the --async-disc alias/conflict rules."""
+    from speech_enhancement_tpu.cli.main_gan import parse_option
+
+    root, cfg = tiny_dataset
+    base = ["-a", "scp", "--cfg", cfg, "--output", str(root / "o")]
+    args, _ = parse_option(base)
+    assert args.step_mode == "two-phase" and not args.async_disc
+    args, _ = parse_option(base + ["--step-mode", "fused"])
+    assert args.step_mode == "fused" and not args.async_disc
+    args, _ = parse_option(base + ["--step-mode", "two-phase"])
+    assert not args.async_disc
+    args, _ = parse_option(base + ["--async-disc"])
+    assert args.step_mode == "async"
+    with pytest.raises(SystemExit):
+        parse_option(base + ["--async-disc", "--step-mode", "fused"])
+
+
 @pytest.mark.slow
 def test_main_gan_resume_auto(tiny_dataset, monkeypatch):
     """--resume auto restores epoch/best_loss and continues training

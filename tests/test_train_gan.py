@@ -176,7 +176,12 @@ def test_fused_gan_train_step_single_dispatch(setup, rng):
         gen_model=gen, disc_model=disc, gen_tx=gen_tx, disc_tx=disc_tx,
         arch="scp", criterion=l2_loss, gan_active=True,
     )
-    state2, metrics = step(state, clean, noisy, jax.random.PRNGKey(5))
+    # q_clean precomputed (the collator path, cli/main_gan); q_noisy left
+    # to the io_callback fallback — one compile covers both label paths
+    q_clean = jnp.full((B,), (4.64 - 1.0) / 3.5, jnp.float32)
+    state2, metrics = step(
+        state, clean, noisy, jax.random.PRNGKey(5), q_clean
+    )
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["disc_loss"]))
     d = jax.tree_util.tree_map(
