@@ -98,8 +98,11 @@ def main() -> None:
     for t in range(TRIALS):
         lo = WARMUP_ITERS + t * MEASURE_ITERS
         t0 = time.perf_counter()
-        for i in range(lo, lo + MEASURE_ITERS):
-            fn(xs[i]).block_until_ready()
+        # pipelined dispatch (block once per trial): JAX dispatch is async,
+        # so the ~30 ms/step tunnel dispatch overhead overlaps device
+        # compute — as a real serving queue would
+        outs = [fn(xs[i]) for i in range(lo, lo + MEASURE_ITERS)]
+        jax.block_until_ready(outs)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     utt_per_sec = batch_size * MEASURE_ITERS / best_dt

@@ -132,6 +132,17 @@ class Enhancer:
         """
         order = sorted(range(len(utterances)), key=lambda i: len(utterances[i]))
         out: list[np.ndarray | None] = [None] * len(utterances)
+
+        def drain(pending):
+            est_dev, chunk = pending
+            est = np.asarray(est_dev)  # blocks until the device is done
+            for row, j in enumerate(chunk):
+                out[j] = est[row, : len(utterances[j])]
+
+        # one-deep pipeline: JAX dispatch is async, so batch i computes on
+        # device while the host stacks/pads batch i+1 and converts batch
+        # i-1 — hides the per-dispatch tunnel latency behind compute
+        pending = None
         i = 0
         while i < len(order):
             chunk = order[i : i + batch_size]
@@ -142,10 +153,14 @@ class Enhancer:
                 [wrap_pad(np.asarray(utterances[j], np.float32), bucket)
                  for j in chunk]
             )
-            est = self.enhance_batch(batch)
-            for row, j in enumerate(chunk):
-                out[j] = est[row, : len(utterances[j])]
+            fn = self._get_compiled(bucket)
+            est_dev = fn(jnp.asarray(batch, self.dtype))
+            if pending is not None:
+                drain(pending)
+            pending = (est_dev, chunk)
             i += batch_size
+        if pending is not None:
+            drain(pending)
         return out  # type: ignore[return-value]
 
 

@@ -74,6 +74,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
         qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [n(i), h*rows, n(j)]
+    # keep biasT in fp32: storing it bf16 (to halve VMEM and buy a 2x
+    # batch tile) was measured SLOWER on v5e — 339.8 ms (tile 8) / 347.5 ms
+    # (tile 16) vs 325.3 ms — the repack to bf16 lanes costs more than the
+    # bandwidth it saves and bigger tiles reduce grid-level overlap
 
     outs = []
     for hh in range(h):
@@ -98,7 +102,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
     out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
 
 
-def _auto_batch_tile(n: int, heads: int, vmem_budget: int = 88 << 20) -> int:
+def _auto_batch_tile(n: int, heads: int, dtype=jnp.float32,
+                     vmem_budget: int = 88 << 20) -> int:
     """Largest power-of-two batch tile whose fp32 working set fits the
     budget: per batch instance, the unrolled head loop keeps ~2 fp32
     logits-sized arrays live per head plus the all-head biasT."""
@@ -129,7 +134,7 @@ def fused_shaw_attention(
     if scale is None:
         scale = d**-0.5
     if batch_tile is None:
-        batch_tile = _auto_batch_tile(n, h)
+        batch_tile = _auto_batch_tile(n, h, dtype)
     # gather the [i, j] table once (tiny: n*n rows of the 2*max_pos_emb+1
     # table) and lay it out [i, d, j] for the batched dot
     idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],

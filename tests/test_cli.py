@@ -77,9 +77,11 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     import speech_enhancement_tpu.cli.inference_gan as ig
 
     monkeypatch.setattr(
-        ig, "TSCNet", lambda num_channel, num_features: __import__(
+        ig, "TSCNet",
+        lambda num_channel, num_features, fused_attention=False: __import__(
             "speech_enhancement_tpu.models", fromlist=["TSCNet"]
-        ).TSCNet(num_channel=8, num_features=num_features),
+        ).TSCNet(num_channel=8, num_features=num_features,
+                 fused_attention=fused_attention),
     )
     monkeypatch.setattr(
         ig, "Discriminator", lambda ndf: __import__(
