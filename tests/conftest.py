@@ -23,6 +23,24 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module boundaries.
+
+    A full-suite run accumulates 100+ XLA:CPU executables in the pjit
+    cache; past ~105 tests the in-process LLVM compiler starts
+    segfaulting (reproducibly, position-dependent, standalone-green —
+    compiler-memory exhaustion).  Dropping the caches between modules
+    keeps the high-water mark bounded; within-module jit reuse is
+    unaffected.
+    """
+    yield
+    jax.clear_caches()
+    if os.environ.get("SUITE_RSS_DEBUG"):
+        rss = int(open("/proc/self/statm").read().split()[1]) * 4096
+        print(f"\n[rss after module: {rss / 1e9:.2f} GB]", flush=True)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(23)
