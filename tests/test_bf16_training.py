@@ -13,7 +13,7 @@ from speech_enhancement_tpu.train import (
     tsc_diffusion_step,
 )
 
-B, L = 2, 4000
+B, L = 2, 2000
 
 
 def _make_state(tx):

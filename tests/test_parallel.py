@@ -19,7 +19,7 @@ from speech_enhancement_tpu.train import (
     l2_loss,
 )
 
-L = 4000
+L = 2000
 
 
 @pytest.fixture(scope="module")
@@ -28,13 +28,11 @@ def mesh():
     return data_parallel_mesh(8)
 
 
-def test_mesh_has_8_devices(mesh):
-    assert mesh.devices.size == 8
-
-
-def test_sharded_generator_step_matches_single_device(mesh, rng):
-    """The same jitted step, batch sharded over 8 devices: results must
-    match the unsharded run (SPMD is an annotation, not a code path)."""
+@pytest.fixture(scope="module")
+def tiny_gan():
+    """Shared models/optimizers/state: the jitted train steps key on the
+    (static) model and optimizer objects, so sharing them lets the
+    discriminator test reuse the generator-step compile."""
     gen = TSCNet(num_channel=8, num_features=201)
     disc = Discriminator(ndf=4)
     state0 = create_gan_state(
@@ -43,8 +41,19 @@ def test_sharded_generator_step_matches_single_device(mesh, rng):
     )
     gen_tx = build_optimizer("sgd", 1e-3, state0.gen.params)
     disc_tx = build_optimizer("sgd", 2e-3, state0.disc.params)
-    state = create_gan_state(jax.random.PRNGKey(0), gen, disc, gen_tx, disc_tx,
-                             length=L)
+    state = create_gan_state(jax.random.PRNGKey(0), gen, disc, gen_tx,
+                             disc_tx, length=L)
+    return gen, disc, gen_tx, disc_tx, state
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_sharded_generator_step_matches_single_device(mesh, tiny_gan, rng):
+    """The same jitted step, batch sharded over 8 devices: results must
+    match the unsharded run (SPMD is an annotation, not a code path)."""
+    gen, disc, gen_tx, disc_tx, state = tiny_gan
 
     clean = 0.1 * rng.standard_normal((8, L)).astype(np.float32)
     noisy = clean + 0.02 * rng.standard_normal((8, L)).astype(np.float32)
@@ -99,22 +108,13 @@ def test_batchnorm_stats_are_global(mesh, rng):
     )
 
 
-def test_sharded_discriminator_step_matches_single_device(mesh, rng):
+def test_sharded_discriminator_step_matches_single_device(mesh, tiny_gan, rng):
     """Full GAN step sharded: the self-correcting weights reduce flat-grad
     dot products over *sharded* per-example grads (train/gan.py:248-267);
     they must equal the unsharded full-batch result (function.py:705-760)."""
     from speech_enhancement_tpu.train import gan_discriminator_step
 
-    gen = TSCNet(num_channel=8, num_features=201)
-    disc = Discriminator(ndf=4)
-    state0 = create_gan_state(
-        jax.random.PRNGKey(0), gen, disc, optax.sgd(1e-3), optax.sgd(1e-3),
-        length=L,
-    )
-    gen_tx = build_optimizer("sgd", 1e-3, state0.gen.params)
-    disc_tx = build_optimizer("sgd", 2e-3, state0.disc.params)
-    state = create_gan_state(jax.random.PRNGKey(0), gen, disc, gen_tx, disc_tx,
-                             length=L)
+    gen, disc, gen_tx, disc_tx, state = tiny_gan
 
     clean = 0.1 * rng.standard_normal((8, L)).astype(np.float32)
     noisy = clean + 0.02 * rng.standard_normal((8, L)).astype(np.float32)
