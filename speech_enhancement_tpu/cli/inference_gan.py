@@ -48,6 +48,11 @@ def parse_option(argv=None):
         help="serving compute dtype; bf16 is perceptually transparent "
              "(PESQ(fp32, bf16 output)=4.64) and ~1.6x faster on v5e",
     )
+    parser.add_argument(
+        "--n-devices", default=None, type=int,
+        help="shard enhancement batches over a data-parallel mesh of this "
+             "many devices (default: single device)",
+    )
     parser.add_argument("--opts", default=None, nargs="+")
     args = parser.parse_args(argv)
     config = get_config(args)
@@ -86,9 +91,15 @@ def inference(args, config, model_path, data_paths):
 
     gen, variables = load_model(model_path, config,
                                 fused=_use_fused(args.fused_attention))
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from speech_enhancement_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh(args.n_devices)
     enhancer = Enhancer(
         gen, variables, config.N_FFT, config.HOP_SAMPLES,
         compute_dtype=jnp.bfloat16 if args.precision == "bf16" else None,
+        mesh=mesh,
     )
 
     noisy_sigs, clean_sigs = [], []

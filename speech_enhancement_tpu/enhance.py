@@ -51,8 +51,14 @@ class Enhancer:
         dtype=jnp.float32,
         compute_dtype=None,
         matmul_precision: str | None = "bfloat16",
+        mesh=None,
     ):
-        """Precision knobs:
+        """``mesh``: an optional 1-D ``jax.sharding.Mesh`` ("data" axis) —
+        batches are sharded over it and params replicated, so enhancement
+        runs SPMD across chips (ragged chunks are row-padded to the mesh
+        size).  Single default device when None.
+
+        Precision knobs:
 
         * ``matmul_precision='bfloat16'`` (default) keeps every array in
           fp32 but runs matmuls/convs as single-pass bf16 on the MXU with
@@ -66,6 +72,11 @@ class Enhancer:
         * ``matmul_precision=None`` -> XLA default (highest, 6-pass fp32).
         """
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from speech_enhancement_tpu.parallel import replicate_state
+
+            variables = replicate_state(mesh, variables)
         self.variables = variables
         self.n_fft = n_fft
         self.hop = hop
@@ -114,7 +125,13 @@ class Enhancer:
 
             else:
                 step = self._step
-            fn = jax.jit(step)
+            if self.mesh is not None:
+                from speech_enhancement_tpu.parallel import batch_sharding
+
+                sh = batch_sharding(self.mesh)
+                fn = jax.jit(step, in_shardings=sh, out_shardings=sh)
+            else:
+                fn = jax.jit(step)
             self._compiled[length] = fn
         return fn
 
@@ -153,6 +170,15 @@ class Enhancer:
                 [wrap_pad(np.asarray(utterances[j], np.float32), bucket)
                  for j in chunk]
             )
+            if self.mesh is not None:
+                # ragged chunk: repeat the last row up to the mesh size
+                # (zero rows would NaN through normalize_batch)
+                n_dev = self.mesh.devices.size
+                if batch.shape[0] % n_dev:
+                    reps = n_dev - batch.shape[0] % n_dev
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], reps, axis=0)]
+                    )
             fn = self._get_compiled(bucket)
             est_dev = fn(jnp.asarray(batch, self.dtype))
             if pending is not None:
