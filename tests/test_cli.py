@@ -95,6 +95,13 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     saved = list((enh_out).rglob("*.wav"))
     assert len(saved) == 2
 
+    # --validate-epochs without --start/--end sweeps the checkpoints
+    # actually present (here: just checkpoint_0000)
+    ig.main([
+        "--cfg", cfg, "-m", str(ckpt.parent), "-o", str(root / "sweep"),
+        "--validate-epochs",
+    ])
+
 
 def test_step_mode_flag(tiny_dataset):
     """--step-mode selection and the --async-disc alias/conflict rules."""
