@@ -88,7 +88,8 @@ def predict(noisy_signal: np.ndarray, model_dir: str, fast: bool = False,
     x = jnp.asarray(noisy_signal[None, :], jnp.float32)
     audio = sample_waveform(model, variables, x, schedule,
                             jax.random.PRNGKey(seed),
-                            hop=PARAMS["hop_samples"], n_fft=PARAMS["n_fft"])
+                            hop=PARAMS["hop_samples"], n_fft=PARAMS["n_fft"],
+                            clamp_every_step=True)
     return np.asarray(audio)[0][: len(noisy_signal)]
 
 

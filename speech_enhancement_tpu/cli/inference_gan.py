@@ -141,23 +141,30 @@ def main(argv=None):
         raise SystemExit(f"no test wavs in {config.DATA.TEST_NOISY_DIR}")
 
     if args.validate_epochs:
-        start, end = args.start, args.end
-        if start is None or end is None:
-            # default to the checkpoints actually present in model_path
+        if args.start is not None and args.end is not None:
+            epochs = list(range(args.start, args.end))
+        else:
+            # default to the checkpoints actually present in model_path,
+            # skipping any without a restorable 'variables' subtree (e.g.
+            # emergency preemption checkpoints save only the train state)
             found = sorted(
                 int(p.name.split("_")[1])
                 for p in Path(args.model_path).glob("checkpoint_*")
                 if p.name.split("_")[1].isdigit()
+                and (p / "variables").exists()
             )
             if not found:
                 raise SystemExit(
-                    f"no checkpoint_* under {args.model_path}; pass "
-                    "--start/--end"
+                    f"no checkpoint_*/variables under {args.model_path}; "
+                    "pass --start/--end"
                 )
-            start = found[0] if start is None else start
-            end = found[-1] + 1 if end is None else end
+            epochs = [
+                e for e in found
+                if (args.start is None or e >= args.start)
+                and (args.end is None or e < args.end)
+            ]
         best_pesq, best_epoch = 0.0, 0
-        for epoch in range(start, end):
+        for epoch in epochs:
             model_path = os.path.join(args.model_path,
                                       f"checkpoint_{epoch:04d}")
             metrics_avg = inference(args, config, model_path, data_paths) / num

@@ -86,10 +86,9 @@ class Enhancer:
         self.matmul_precision = matmul_precision
         self._compiled = {}
 
-    def _step(self, noisy: jnp.ndarray) -> jnp.ndarray:
+    def _step(self, variables, noisy: jnp.ndarray) -> jnp.ndarray:
         _, noisy_n, c = normalize_batch(noisy, noisy)
         spec = compressed_stft(noisy_n, self.n_fft, self.hop, comp_type="pow")
-        variables = self.variables
         if self.compute_dtype is not None:
             cd = self.compute_dtype
             variables = jax.tree_util.tree_map(
@@ -119,26 +118,53 @@ class Enhancer:
             if self.matmul_precision is not None:
                 mp = self.matmul_precision
 
-                def step(x):
+                def step(variables, x):
                     with jax.default_matmul_precision(mp):
-                        return self._step(x)
+                        return self._step(variables, x)
 
             else:
                 step = self._step
             if self.mesh is not None:
-                from speech_enhancement_tpu.parallel import batch_sharding
+                # shard_map (not jit+in_shardings): the step is pure data
+                # parallel (normalize_batch is per-utterance), and running
+                # it per-shard lets the Pallas fused-attention kernel —
+                # a Mosaic custom call with no GSPMD partitioning rule —
+                # execute on each device's local batch slice.
+                from jax.sharding import PartitionSpec as P
 
-                sh = batch_sharding(self.mesh)
-                fn = jax.jit(step, in_shardings=sh, out_shardings=sh)
+                inner = jax.shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=(P(), P("data")), out_specs=P("data"),
+                    # pallas_call emits ShapeDtypeStructs without vma
+                    # annotations; the step is collective-free so varying-
+                    # axis checking has nothing to verify anyway
+                    check_vma=False,
+                )
+                raw = jax.jit(inner)
             else:
-                fn = jax.jit(step)
+                raw = jax.jit(step)
+            variables = self.variables
+            fn = lambda x: raw(variables, x)  # noqa: E731
             self._compiled[length] = fn
         return fn
 
+    def _pad_to_mesh(self, batch: np.ndarray) -> np.ndarray:
+        """Repeat the last row so B divides the mesh size (zero rows would
+        NaN through normalize_batch); no-op without a mesh."""
+        if self.mesh is None:
+            return batch
+        n_dev = self.mesh.devices.size
+        if batch.shape[0] % n_dev:
+            reps = n_dev - batch.shape[0] % n_dev
+            batch = np.concatenate([batch, np.repeat(batch[-1:], reps, axis=0)])
+        return batch
+
     def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
         """Enhance a fixed-length [B, L] batch (L a hop multiple)."""
+        b = noisy.shape[0]
+        noisy = self._pad_to_mesh(np.asarray(noisy))
         fn = self._get_compiled(noisy.shape[-1])
-        return np.asarray(fn(jnp.asarray(noisy, self.dtype)))
+        return np.asarray(fn(jnp.asarray(noisy, self.dtype)))[:b]
 
     def enhance(self, utterances: Sequence[np.ndarray],
                 batch_size: int = 32) -> list[np.ndarray]:
@@ -170,15 +196,7 @@ class Enhancer:
                 [wrap_pad(np.asarray(utterances[j], np.float32), bucket)
                  for j in chunk]
             )
-            if self.mesh is not None:
-                # ragged chunk: repeat the last row up to the mesh size
-                # (zero rows would NaN through normalize_batch)
-                n_dev = self.mesh.devices.size
-                if batch.shape[0] % n_dev:
-                    reps = n_dev - batch.shape[0] % n_dev
-                    batch = np.concatenate(
-                        [batch, np.repeat(batch[-1:], reps, axis=0)]
-                    )
+            batch = self._pad_to_mesh(batch)
             fn = self._get_compiled(bucket)
             est_dev = fn(jnp.asarray(batch, self.dtype))
             if pending is not None:

@@ -102,11 +102,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
     out_ref[...] = jnp.concatenate(outs, axis=2).astype(out_ref.dtype)
 
 
-def _auto_batch_tile(n: int, heads: int, dtype=jnp.float32,
+def _auto_batch_tile(n: int, heads: int,
                      vmem_budget: int = 88 << 20) -> int:
     """Largest power-of-two batch tile whose fp32 working set fits the
     budget: per batch instance, the unrolled head loop keeps ~2 fp32
-    logits-sized arrays live per head plus the all-head biasT."""
+    logits-sized arrays live per head plus the all-head biasT.  The
+    estimate is deliberately dtype-independent: logits/bias stay fp32
+    in-kernel even for bf16 operands (bf16 biasT storage was measured
+    slower on v5e, see _attn_kernel)."""
     npad = _round_up(n, 128)
     per_instance = 3 * heads * n * npad * 4
     r = max(1, vmem_budget // per_instance)
@@ -134,7 +137,7 @@ def fused_shaw_attention(
     if scale is None:
         scale = d**-0.5
     if batch_tile is None:
-        batch_tile = _auto_batch_tile(n, h, dtype)
+        batch_tile = _auto_batch_tile(n, h)
     # gather the [i, j] table once (tiny: n*n rows of the 2*max_pos_emb+1
     # table) and lay it out [i, d, j] for the batched dot
     idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],

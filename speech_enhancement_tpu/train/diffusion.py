@@ -321,12 +321,19 @@ def tsc_diffusion_step(
 
 
 def sample_waveform(model, variables, noisy_signal, schedule: ReverseSchedule,
-                    rng, hop=100, n_fft=400, gamma: float = 0.2):
+                    rng, hop=100, n_fft=400, gamma: float = 0.2,
+                    clamp_every_step: bool = False):
     """DiffuSE reverse sampler (inference_diffuse.py:192-227) as lax.scan.
 
     Starts from the (zero-padded) noisy waveform; per-step update
     x <- c1 x + c2 y - c3 eps_theta + sqrt(delta_bar) z, with the final step
     dropping the y/noise terms and blending gamma with the noisy signal.
+
+    ``clamp_every_step``: the vendored standalone sampler clamps the audio
+    to [-1, 1] at EVERY reverse step (cdiffuse/inference.py:161), while the
+    top-level one clamps only at the final step (inference_diffuse.py:225).
+    False reproduces the top-level behavior; cli/cdiffuse_inference passes
+    True.
     """
     spec = jnp.abs(stft(noisy_signal, n_fft, hop))[:, :-1, :]
     b = noisy_signal.shape[0]
@@ -347,6 +354,8 @@ def sample_waveform(model, variables, noisy_signal, schedule: ReverseSchedule,
         eps = model.apply(variables, audio, spec, jnp.full((b,), t_frac))
         noise = jax.random.normal(sub, audio.shape, audio.dtype)
         nonfinal = c1 * audio + c2 * noisy_audio - c3 * eps + dbar**0.5 * noise
+        if clamp_every_step:
+            nonfinal = jnp.clip(nonfinal, -1.0, 1.0)
         final = c1 * audio - c3 * eps
         final = (1.0 - gamma) * final + gamma * noisy_audio
         final = jnp.clip(final, -1.0, 1.0)

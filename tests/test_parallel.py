@@ -129,6 +129,29 @@ def test_sharded_enhancer_matches_single_device(mesh, tiny_gan, rng):
         np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+def test_sharded_enhancer_fused_attention(mesh, rng):
+    """Mesh + fused Pallas attention together: the mesh path runs the step
+    under shard_map, so the Mosaic custom call (no GSPMD partitioning
+    rule) executes on each device's local batch slice.  Must match the
+    single-device fused output."""
+    from speech_enhancement_tpu.enhance import Enhancer
+
+    gen = TSCNet(num_channel=8, num_features=201, fused_attention=True)
+    from speech_enhancement_tpu.ops import compressed_stft
+
+    spec = compressed_stft(jnp.zeros((1, 2000)), 400, 100)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec, deterministic=True,
+    )
+    x = 0.1 * rng.standard_normal((8, 2000)).astype(np.float32)
+    single = Enhancer(gen, variables, 400, 100, quantum=2000)
+    sharded = Enhancer(gen, variables, 400, 100, quantum=2000, mesh=mesh)
+    np.testing.assert_allclose(
+        single.enhance_batch(x), sharded.enhance_batch(x), atol=2e-5
+    )
+
+
 def test_sharded_discriminator_step_matches_single_device(mesh, tiny_gan, rng):
     """Full GAN step sharded: the self-correcting weights reduce flat-grad
     dot products over *sharded* per-example grads (train/gan.py:248-267);

@@ -59,6 +59,57 @@ def test_sample_waveform_runs(rng):
     assert float(jnp.max(jnp.abs(out))) <= 1.0  # final-step clamp
 
 
+def test_sample_waveform_clamp_modes(rng):
+    """Pin BOTH clamp behaviors against a numpy reimplementation:
+    clamp_every_step=False reproduces the top-level sampler
+    (inference_diffuse.py:225, final-step clamp only) and =True the
+    vendored standalone one (cdiffuse/inference.py:161, every step)."""
+    from speech_enhancement_tpu.train.diffusion import ReverseSchedule
+
+    class LinearEps:
+        """Stub model: eps = 0.5 * audio (deterministic, spec-independent)."""
+
+        def apply(self, variables, audio, spec, t):
+            return 0.5 * audio
+
+    n = 3
+    # delta_bar = 0 makes the recurrence deterministic (no sampled noise)
+    zeros = np.zeros(n, np.float32)
+    sched = ReverseSchedule(
+        alpha=np.full(n, 0.9, np.float32), beta=zeros, alpha_cum=zeros,
+        sigmas=zeros, T=np.arange(n, dtype=np.float32),
+        c1=np.full(n, 0.4, np.float32), c2=np.full(n, 0.3, np.float32),
+        c3=np.full(n, 0.1, np.float32), delta=zeros, delta_bar=zeros,
+    )
+    # amplitude > 1 so the per-step clamp actually bites
+    y = 2.0 * np.ones((1, 400), np.float32)
+    gamma = 0.2
+
+    def expected(clamp_every):
+        x = y.copy()
+        for i in range(n - 1, -1, -1):
+            eps = 0.5 * x
+            if i > 0:
+                x = sched.c1[i] * x + sched.c2[i] * y - sched.c3[i] * eps
+                if clamp_every:
+                    x = np.clip(x, -1.0, 1.0)
+            else:
+                x = sched.c1[i] * x - sched.c3[i] * eps
+                x = (1 - gamma) * x + gamma * y
+                x = np.clip(x, -1.0, 1.0)
+        return x
+
+    for clamp_every in (False, True):
+        got = sample_waveform(
+            LinearEps(), {}, jnp.asarray(y), sched, jax.random.PRNGKey(0),
+            clamp_every_step=clamp_every,
+        )
+        np.testing.assert_allclose(np.asarray(got), expected(clamp_every),
+                                   rtol=1e-5)
+    # the two modes genuinely diverge on this input
+    assert not np.allclose(expected(False), expected(True))
+
+
 @pytest.mark.slow
 def test_sample_waveform_full_50_steps(rng):
     """BASELINE config #4: the full (non-fast) 50-step reverse process."""
