@@ -51,7 +51,11 @@ def _compile_enhance(enhancer, length: int, batch: int):
     for b in (batch, *FALLBACK_BATCHES):
         fn = enhancer._get_compiled(length)
         try:
-            fn(jnp.zeros((b, length), jnp.float32)).block_until_ready()
+            # force real execution with a host read: on current axon
+            # runtimes block_until_ready returns immediately (execution is
+            # eager but the wait is a no-op), so only a device->host read
+            # proves the executable runs
+            float(fn(jnp.zeros((b, length), jnp.float32))[0, 0])
             return fn, b
         except Exception as e:  # remote compiler HTTP 500 / OOM
             print(f"batch {b} failed to compile ({type(e).__name__}); "
@@ -93,16 +97,19 @@ def main() -> None:
     n_iters = WARMUP_ITERS + TRIALS * MEASURE_ITERS
     xs = [jnp.asarray(batch * (1.0 + 0.001 * i)) for i in range(n_iters)]
     for i in range(WARMUP_ITERS):
-        fn(xs[i]).block_until_ready()
+        float(fn(xs[i])[0, 0])
     best_dt = float("inf")
     for t in range(TRIALS):
         lo = WARMUP_ITERS + t * MEASURE_ITERS
         t0 = time.perf_counter()
-        # pipelined dispatch (block once per trial): JAX dispatch is async,
-        # so the ~30 ms/step tunnel dispatch overhead overlaps device
-        # compute — as a real serving queue would
+        # pipelined dispatch (synchronize once per trial): JAX dispatch is
+        # async, so the ~30 ms/step tunnel dispatch overhead overlaps
+        # device compute — as a real serving queue would.  The trial ends
+        # with ONE host read that depends on every output: on current axon
+        # runtimes block_until_ready is a no-op (returns before execution
+        # finishes), so only a device->host read is a true barrier.
         outs = [fn(xs[i]) for i in range(lo, lo + MEASURE_ITERS)]
-        jax.block_until_ready(outs)
+        float(jnp.stack([o[0, 0] for o in outs]).sum())
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     utt_per_sec = batch_size * MEASURE_ITERS / best_dt

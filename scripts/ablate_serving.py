@@ -103,11 +103,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     base = 0.1 * rng.standard_normal((BATCH, LENGTH)).astype(np.float32)
     xs = [jnp.asarray(base * (1.0 + 0.001 * i)) for i in range(WARMUP + ITERS)]
+    # per-iteration one-element host read: block_until_ready is a no-op on
+    # current axon runtimes, so a read is the only true per-batch barrier
+    # (serialized timing — comparable to the round-2 325.3 ms methodology)
     for i in range(WARMUP):
-        fn(xs[i]).block_until_ready()
+        float(fn(xs[i])[0, 0])
     t0 = time.perf_counter()
     for i in range(WARMUP, WARMUP + ITERS):
-        fn(xs[i]).block_until_ready()
+        float(fn(xs[i])[0, 0])
     dt = time.perf_counter() - t0
     print(json.dumps({
         "zero": args.zero,

@@ -46,6 +46,13 @@ import jax.numpy as jnp
 SR = 16000
 
 
+def _fence(tree):
+    """True device barrier: on current axon runtimes block_until_ready
+    returns before execution finishes, so read one element instead."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    float(jnp.ravel(leaf)[0])
+
+
 def make_batches(rng: np.ndarray, n: int, batch: int, length: int):
     """Speech-ish tones (PESQ needs voiced energy), distinct per step —
     the axon runtime memoizes repeated executions on identical buffers."""
@@ -122,7 +129,7 @@ def main() -> None:
         t0 = None
         for i, (clean, noisy) in enumerate(batches):
             if i == args.warmup:
-                jax.block_until_ready(state.gen.params)
+                _fence(state.gen.params)
                 t0 = time.perf_counter()
             key, kg, kd = jax.random.split(key, 3)
             state, aux = gan_generator_step(
@@ -136,7 +143,7 @@ def main() -> None:
                 disc_model=disc, arch="scp", criterion=l2_loss,
                 disc_tx=disc_tx,
             )
-        jax.block_until_ready(state.disc.params)
+        _fence(state.disc.params)
         return time.perf_counter() - t0
 
     # ---- two-phase, async labels (one-deep pipeline, as cli --async-disc)
@@ -147,7 +154,7 @@ def main() -> None:
         t0 = None
         for i, (clean, noisy) in enumerate(batches):
             if i == args.warmup:
-                jax.block_until_ready(state.gen.params)
+                _fence(state.gen.params)
                 t0 = time.perf_counter()
             key, kg, kd = jax.random.split(key, 3)
             if pending is not None:
@@ -168,7 +175,7 @@ def main() -> None:
             state, p_aux, fut.result(), q_clean, q_noisy, p_kd,
             disc_model=disc, arch="scp", criterion=l2_loss, disc_tx=disc_tx,
         )
-        jax.block_until_ready(state.disc.params)
+        _fence(state.disc.params)
         pool.shutdown()
         return time.perf_counter() - t0
 
@@ -182,14 +189,14 @@ def main() -> None:
         t0 = None
         for i, (clean, noisy) in enumerate(batches):
             if i == args.warmup:
-                jax.block_until_ready(state.gen.params)
+                _fence(state.gen.params)
                 t0 = time.perf_counter()
             key, k = jax.random.split(key)
             state, metrics = step(
                 state, jnp.asarray(clean), jnp.asarray(noisy), k,
                 q_clean, q_noisy,
             )
-        jax.block_until_ready(state.disc.params)
+        _fence(state.disc.params)
         return time.perf_counter() - t0
 
     errors = {}

@@ -27,12 +27,19 @@ from speech_enhancement_tpu.models.layers import (
 )
 
 
-def conv2d(features, kernel_size, strides=(1, 1), padding="VALID", name=None):
-    return nn.Conv(
+def conv2d(features, kernel_size, strides=(1, 1), padding="VALID", name=None,
+           quantized=False, kernel_dilation=(1, 1)):
+    cls = nn.Conv
+    if quantized:
+        from speech_enhancement_tpu.ops.int8 import QuantConv
+
+        cls = QuantConv
+    return cls(
         features,
         kernel_size,
         strides=strides,
         padding=padding,
+        kernel_dilation=kernel_dilation,
         kernel_init=kaiming_normal_init(),
         bias_init=bias_init_001,
         name=name,
@@ -42,10 +49,15 @@ def conv2d(features, kernel_size, strides=(1, 1), padding="VALID", name=None):
 class DilatedDenseNet(nn.Module):
     """4-layer densely-connected block, time-dilated (2^i) with causal time
     padding — pad (pad_len, 0) on T, (1, 1) on F, kernel (2, 3)
-    (generator.py:6-32)."""
+    (generator.py:6-32).
+
+    ``quantized``: contract the fat dense convs (Cin up to depth*channels)
+    on the int8 MXU (ops/int8.py) — serving-only fast path, identical
+    parameter tree."""
 
     depth: int = 4
     channels: int = 64
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -55,14 +67,12 @@ class DilatedDenseNet(nn.Module):
             dil = 2**i
             pad_len = 2 + (dil - 1) - 1  # twidth + (dil-1)*(twidth-1) - 1
             y = jnp.pad(skip, ((0, 0), (pad_len, 0), (1, 1), (0, 0)))
-            y = nn.Conv(
+            y = conv2d(
                 self.channels,
                 (2, 3),
                 kernel_dilation=(dil, 1),
-                padding="VALID",
-                kernel_init=kaiming_normal_init(),
-                bias_init=bias_init_001,
                 name=f"conv{i + 1}",
+                quantized=self.quantized,
             )(y)
             y = InstanceNorm(name=f"norm{i + 1}")(y)
             out = PReLU(self.channels, name=f"prelu{i + 1}")(y)
@@ -75,16 +85,21 @@ class DenseEncoder(nn.Module):
     (generator.py:35-54)."""
 
     channels: int = 64
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
+        # conv1 stays float: Cin=3 gives a K=3 contraction — nothing for
+        # the int8 MXU to win
         x = conv2d(self.channels, (1, 1), name="conv1")(x)
         x = InstanceNorm(name="norm1")(x)
         x = PReLU(self.channels, name="prelu1")(x)
-        x = DilatedDenseNet(4, self.channels, name="dense")(x)
+        x = DilatedDenseNet(4, self.channels, quantized=self.quantized,
+                            name="dense")(x)
         x = conv2d(
             self.channels, (1, 3), strides=(1, 2),
             padding=((0, 0), (1, 1)), name="conv2",
+            quantized=self.quantized,
         )(x)
         x = InstanceNorm(name="norm2")(x)
         x = PReLU(self.channels, name="prelu2")(x)
@@ -171,12 +186,14 @@ class SPConvTranspose2d(nn.Module):
     features: int
     kernel_size: tuple = (1, 3)
     r: int = 1
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, t, f, _ = x.shape
         y = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
-        y = conv2d(self.features * self.r, self.kernel_size, name="conv")(y)
+        y = conv2d(self.features * self.r, self.kernel_size, name="conv",
+                   quantized=self.quantized)(y)
         f2 = y.shape[2]
         # channel blocks of size `features` are the r sub-pixel phases; merging
         # (F, r) F-major interleaves them along frequency (generator.py:88-91).
@@ -191,11 +208,16 @@ class MaskDecoder(nn.Module):
 
     num_features: int = 201
     channels: int = 64
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = DilatedDenseNet(4, self.channels, name="dense")(x)
-        x = SPConvTranspose2d(self.channels, (1, 3), r=2, name="sub_pixel")(x)
+        x = DilatedDenseNet(4, self.channels, quantized=self.quantized,
+                            name="dense")(x)
+        x = SPConvTranspose2d(self.channels, (1, 3), r=2,
+                              quantized=self.quantized, name="sub_pixel")(x)
+        # the 1/2-channel output convs stay float: tiny N, and the mask
+        # output is precision-critical
         x = conv2d(1, (1, 2), name="conv1")(x)
         x = PReLU(1, name="prelu")(InstanceNorm(name="norm")(x))
         x = conv2d(1, (1, 1), name="final_conv")(x)
@@ -208,11 +230,14 @@ class ComplexDecoder(nn.Module):
     (generator.py:115-129).  Output [B, T, F, 2]."""
 
     channels: int = 64
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = DilatedDenseNet(4, self.channels, name="dense")(x)
-        x = SPConvTranspose2d(self.channels, (1, 3), r=2, name="sub_pixel")(x)
+        x = DilatedDenseNet(4, self.channels, quantized=self.quantized,
+                            name="dense")(x)
+        x = SPConvTranspose2d(self.channels, (1, 3), r=2,
+                              quantized=self.quantized, name="sub_pixel")(x)
         x = PReLU(self.channels, name="prelu")(InstanceNorm(name="norm")(x))
         x = conv2d(2, (1, 2), name="conv")(x)
         return x
@@ -239,6 +264,7 @@ class TSCNet(nn.Module):
     num_channel: int = 64
     num_features: int = 201
     fused_attention: bool = False
+    quantized_convs: bool = False
 
     @nn.compact
     def __call__(self, spec, deterministic: bool = True):
@@ -252,16 +278,20 @@ class TSCNet(nn.Module):
         mag = mag32.astype(re.dtype)
         x_in = jnp.stack([mag, re, im], axis=-1)
 
-        out = DenseEncoder(self.num_channel, name="dense_encoder")(x_in)
+        out = DenseEncoder(self.num_channel, quantized=self.quantized_convs,
+                           name="dense_encoder")(x_in)
         out, _ = tscb_stack(self.num_channel, depth=4,
                             fused_attention=self.fused_attention,
                             deterministic=deterministic)(out, None)
 
         mask = MaskDecoder(self.num_features, self.num_channel,
+                           quantized=self.quantized_convs,
                            name="mask_decoder")(out)
         out_mag = mask.astype(jnp.float32) * mag32
 
-        complex_out = ComplexDecoder(self.num_channel, name="complex_decoder")(out)
+        complex_out = ComplexDecoder(self.num_channel,
+                                     quantized=self.quantized_convs,
+                                     name="complex_decoder")(out)
         final_real = out_mag * jnp.cos(phase) + complex_out[..., 0].astype(jnp.float32)
         final_imag = out_mag * jnp.sin(phase) + complex_out[..., 1].astype(jnp.float32)
         return final_real, final_imag

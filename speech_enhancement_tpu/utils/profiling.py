@@ -6,7 +6,8 @@ The reference's tracing is AverageMeter prints + cuda max-memory
 * :func:`trace` — context manager around ``jax.profiler.trace`` emitting a
   TensorBoard-loadable trace directory of device/host timelines;
 * :class:`StepTimer` — wall-clock step timing with jitted-work completion
-  (block_until_ready) and a rolling summary;
+  (one-element host read; block_until_ready is a no-op on current axon
+  runtimes) and a rolling summary;
 * :func:`device_memory_stats` — per-device live/peak bytes where the
   backend exposes them (the TPU analogue of torch.cuda.max_memory_allocated).
 """
@@ -39,7 +40,15 @@ class StepTimer:
 
     def tick(self, outputs=None) -> float:
         if outputs is not None:
-            jax.block_until_ready(outputs)
+            # block_until_ready is a no-op on current axon runtimes
+            # (returns before execution finishes); a one-element
+            # device->host read is the only true barrier
+            for leaf in jax.tree_util.tree_leaves(outputs):
+                if hasattr(leaf, "ravel"):
+                    float(leaf.ravel()[0])
+                    break
+            else:
+                jax.block_until_ready(outputs)
         now = time.perf_counter()
         dt = now - self._last
         self._last = now
