@@ -116,7 +116,7 @@ def _auto_batch_tile(n: int, heads: int,
     return 1 << (int(r).bit_length() - 1)
 
 
-def fused_shaw_attention(
+def _kernel_call(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -125,13 +125,8 @@ def fused_shaw_attention(
     scale: float | None = None,
     batch_tile: int | None = None,
 ) -> jnp.ndarray:
-    """softmax((q k^T + shaw_bias) * scale) v, fused, all heads.
-
-    ``q, k, v``: [B, n, heads, d] (the natural post-Dense layout split
-    into heads on the last axis — no head transpose needed);
-    ``rel_table``: [2*max_pos_emb + 1, d].
-    Returns [B, n, heads, d] in the dtype of ``q``.
-    """
+    """The raw (non-differentiable) pallas_call — see
+    :func:`fused_shaw_attention` for the public API."""
     b, n, h, d = q.shape
     dtype = q.dtype
     if scale is None:
@@ -175,3 +170,77 @@ def fused_shaw_attention(
         interpret=_interpret(),
     )(qf, kf, vf, rel)
     return out[:b].reshape(b, n, h, d)
+
+
+def _xla_attention(q, k, v, rel_table, max_pos_emb, scale):
+    """XLA einsum reference with the kernel's exact semantics (fp32
+    logits/softmax, operand-dtype value contraction).  Used as the
+    backward path of the custom_vjp: differentiating THIS is equivalent to
+    differentiating the kernel."""
+    b, n, h, d = q.shape
+    idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
+                  -max_pos_emb, max_pos_emb) + max_pos_emb
+    rel = rel_table[jnp.asarray(idx)].astype(q.dtype)  # [i, j, d]
+    dots = jnp.einsum("bihd,bjhd->bhij", q, k,
+                      preferred_element_type=jnp.float32)
+    bias = jnp.einsum("bihd,ijd->bhij", q, rel,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax((dots + bias) * scale, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_diff(q, k, v, rel_table, max_pos_emb, scale, batch_tile):
+    return _kernel_call(q, k, v, rel_table, max_pos_emb, scale, batch_tile)
+
+
+def _fused_fwd(q, k, v, rel_table, max_pos_emb, scale, batch_tile):
+    return (
+        _kernel_call(q, k, v, rel_table, max_pos_emb, scale, batch_tile),
+        (q, k, v, rel_table),
+    )
+
+
+def _fused_bwd(max_pos_emb, scale, batch_tile, residuals, g):
+    q, k, v, rel_table = residuals
+    # recompute-through-XLA backward: the forward kernel keeps no
+    # intermediates (that's the point — logits never touch HBM), so the
+    # backward re-derives them with the einsum formulation and lets XLA
+    # differentiate.  Costs one extra XLA forward; still cheaper than
+    # running the slow XLA path forward AND backward.
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, t_: _xla_attention(q_, k_, v_, t_, max_pos_emb,
+                                              scale),
+        q, k, v, rel_table,
+    )
+    return vjp(g)
+
+
+_fused_diff.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_shaw_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_table: jnp.ndarray,
+    max_pos_emb: int = 512,
+    scale: float | None = None,
+    batch_tile: int | None = None,
+) -> jnp.ndarray:
+    """softmax((q k^T + shaw_bias) * scale) v, fused, all heads.
+
+    ``q, k, v``: [B, n, heads, d] (the natural post-Dense layout split
+    into heads on the last axis — no head transpose needed);
+    ``rel_table``: [2*max_pos_emb + 1, d].
+    Returns [B, n, heads, d] in the dtype of ``q``.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    recomputes the attention with XLA einsums (custom_vjp), so the fused
+    path is usable in training, not just serving.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _fused_diff(q, k, v, rel_table, max_pos_emb, scale, batch_tile)
