@@ -77,6 +77,10 @@ def main() -> None:
     p.add_argument("--zero", default="none")
     p.add_argument("--batch-tile", type=int, default=None,
                    help="override the fused-attention auto batch tile")
+    p.add_argument("--quantized", action="store_true",
+                   help="int8 encoder/decoder convs (ops/int8.py)")
+    p.add_argument("--no-fused", action="store_true",
+                   help="XLA attention instead of the Pallas kernel")
     args = p.parse_args()
 
     apply_ablation(args.zero)
@@ -89,7 +93,9 @@ def main() -> None:
     from speech_enhancement_tpu.models import TSCNet
     from speech_enhancement_tpu.ops import compressed_stft
 
-    model = TSCNet(num_channel=64, num_features=201, fused_attention=True)
+    model = TSCNet(num_channel=64, num_features=201,
+                   fused_attention=not args.no_fused,
+                   quantized_convs=args.quantized)
     spec = compressed_stft(jnp.zeros((1, LENGTH)), 400, 100)
     init = jax.jit(lambda rngs, s: model.init(rngs, s, deterministic=True))
     variables = init(
@@ -114,6 +120,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
     print(json.dumps({
         "zero": args.zero,
+        "quantized": args.quantized,
+        "fused": not args.no_fused,
         "ms_per_batch": round(1000 * dt / ITERS, 1),
         "utt_per_sec": round(BATCH * ITERS / dt, 2),
     }))

@@ -74,6 +74,17 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seconds", type=float, default=1.0)
+    p.add_argument("--fused-attention", action="store_true",
+                   help="Pallas fused attention in the generator "
+                        "(custom_vjp backward)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 generator fwd/bwd (compute_dtype)")
+    p.add_argument("--gen-only", action="store_true",
+                   help="skip the discriminator phase (cost split)")
+    p.add_argument("--arch", default="scp", choices=["scp", "cmgan"],
+                   help="scp = 3-gradient self-correcting disc step")
+    p.add_argument("--modes", nargs="+", default=None,
+                   help="subset of sync/async/fused to run")
     args = p.parse_args()
 
     from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
@@ -88,8 +99,13 @@ def main() -> None:
     )
 
     length = int(args.seconds * SR)
-    gen = TSCNet(num_channel=64, num_features=201)
+    gen = TSCNet(num_channel=64, num_features=201,
+                 fused_attention=args.fused_attention)
     disc = Discriminator(ndf=16)
+
+    import jax.numpy as _jnp
+
+    compute_dtype = _jnp.bfloat16 if args.bf16 else None
 
     import optax
 
@@ -134,13 +150,16 @@ def main() -> None:
             key, kg, kd = jax.random.split(key, 3)
             state, aux = gan_generator_step(
                 state, jnp.asarray(clean), jnp.asarray(noisy), kg,
-                gen_model=gen, disc_model=disc, arch="scp",
+                gen_model=gen, disc_model=disc, arch=args.arch,
                 criterion=l2_loss, gan_active=True, gen_tx=gen_tx,
+                compute_dtype=compute_dtype,
             )
+            if args.gen_only:
+                continue
             q_est = q_est_of(clean, aux)
             state, _ = gan_discriminator_step(
                 state, aux, q_est, q_clean, q_noisy, kd,
-                disc_model=disc, arch="scp", criterion=l2_loss,
+                disc_model=disc, arch=args.arch, criterion=l2_loss,
                 disc_tx=disc_tx,
             )
         _fence(state.disc.params)
@@ -161,19 +180,21 @@ def main() -> None:
                 p_aux, fut, p_kd = pending
                 state, _ = gan_discriminator_step(
                     state, p_aux, fut.result(), q_clean, q_noisy, p_kd,
-                    disc_model=disc, arch="scp", criterion=l2_loss,
+                    disc_model=disc, arch=args.arch, criterion=l2_loss,
                     disc_tx=disc_tx,
                 )
             state, aux = gan_generator_step(
                 state, jnp.asarray(clean), jnp.asarray(noisy), kg,
-                gen_model=gen, disc_model=disc, arch="scp",
+                gen_model=gen, disc_model=disc, arch=args.arch,
                 criterion=l2_loss, gan_active=True, gen_tx=gen_tx,
+                compute_dtype=compute_dtype,
             )
             pending = (aux, pool.submit(q_est_of, clean, aux), kd)
         p_aux, fut, p_kd = pending
         state, _ = gan_discriminator_step(
             state, p_aux, fut.result(), q_clean, q_noisy, p_kd,
-            disc_model=disc, arch="scp", criterion=l2_loss, disc_tx=disc_tx,
+            disc_model=disc, arch=args.arch, criterion=l2_loss,
+            disc_tx=disc_tx,
         )
         _fence(state.disc.params)
         pool.shutdown()
@@ -183,7 +204,7 @@ def main() -> None:
     def run_fused():
         step = make_fused_gan_train_step(
             gen_model=gen, disc_model=disc, gen_tx=gen_tx, disc_tx=disc_tx,
-            arch="scp", criterion=l2_loss, gan_active=True,
+            arch=args.arch, criterion=l2_loss, gan_active=True,
         )
         state, key = state0, jax.random.PRNGKey(1)
         t0 = None
@@ -200,8 +221,10 @@ def main() -> None:
         return time.perf_counter() - t0
 
     errors = {}
-    for name, fn in (("sync", run_sync), ("async", run_async),
-                     ("fused", run_fused)):
+    mode_fns = {"sync": run_sync, "async": run_async, "fused": run_fused}
+    selected = args.modes or list(mode_fns)
+    for name in selected:
+        fn = mode_fns[name]
         try:
             dt = fn()
         except Exception as e:  # e.g. axon: no host send/recv callbacks
@@ -214,8 +237,14 @@ def main() -> None:
             "mode": name, "steps_per_sec": round(sps, 3),
             "ms_per_step": round(1000 * dt / args.steps, 1),
             "batch": args.batch, "utt_seconds": args.seconds,
+            "arch": args.arch, "bf16": args.bf16,
+            "fused_attention": args.fused_attention,
+            "gen_only": args.gen_only,
         }))
 
+    if args.gen_only or args.modes or args.bf16 or args.fused_attention \
+            or args.arch != "scp":
+        return  # ablation run: JSON lines only, keep TRAIN_BENCH.md canonical
     winner = max(results, key=results.get)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = "".join(

@@ -97,28 +97,48 @@ def _generator_losses(
     n_fft: int,
     hop: int,
     train: bool,
+    compute_dtype=None,
 ):
     """Shared generator loss computation (function.py:218-258 /
-    :362-401).  Returns (losses dict, aux arrays, new batch_stats)."""
+    :362-401).  Returns (losses dict, aux arrays, new batch_stats).
+
+    ``compute_dtype=jnp.bfloat16``: run the generator forward (and, under
+    grad, its backward) in bf16 — the TPU analogue of AMP autocast.  The
+    DSP featurization and every loss stay fp32; params in ``variables``
+    should already be cast by the caller (master copies stay fp32)."""
     clean, noisy, _ = normalize_batch(clean, noisy)
     noisy_spec = compressed_stft(noisy, n_fft, hop, comp_type="pow")
     clean_spec = compressed_stft(clean, n_fft, hop, comp_type="pow")
 
+    if compute_dtype is not None:
+        # no complex bf16 dtype exists: feed the (re, im) pair form
+        spec_in = (jnp.real(noisy_spec).astype(compute_dtype),
+                   jnp.imag(noisy_spec).astype(compute_dtype))
+    else:
+        spec_in = noisy_spec
+
     if train:
         (est_real, est_imag), updates = gen_model.apply(
             variables,
-            noisy_spec,
+            spec_in,
             deterministic=False,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
-        new_stats = updates["batch_stats"]
+        # batch_stats master copies stay fp32 even when computed in bf16
+        new_stats = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            updates["batch_stats"],
+        )
     else:
         est_real, est_imag = gen_model.apply(
-            variables, noisy_spec, deterministic=True
+            variables, spec_in, deterministic=True
         )
         new_stats = variables.get("batch_stats", {})
 
+    est_real = est_real.astype(jnp.float32)
+    est_imag = est_imag.astype(jnp.float32)
     est_spec = jax.lax.complex(est_real, est_imag)
     est_mag = jnp.abs(est_spec)
     clean_mag = jnp.abs(clean_spec)
@@ -165,6 +185,7 @@ def _generator_losses(
     static_argnames=(
         "gen_model", "disc_model", "arch", "criterion", "comp_type",
         "n_fft", "hop", "gan_active", "loss_weights", "gen_tx",
+        "compute_dtype",
     ),
 )
 def gan_generator_step(
@@ -183,16 +204,26 @@ def gan_generator_step(
     gan_active: bool = True,
     loss_weights: tuple = (0.1, 0.9, 0.2, 0.05),
     gen_tx: optax.GradientTransformation,
+    compute_dtype=None,
 ) -> tuple:
-    """Generator update (function.py:206-277).  Returns (state, GenAux)."""
+    """Generator update (function.py:206-277).  Returns (state, GenAux).
+    ``compute_dtype=jnp.bfloat16`` runs the generator fwd/bwd in bf16
+    with fp32 master params, fp32 losses, and fp32 optimizer math."""
     rng_drop, rng_disc = jax.random.split(rng)
 
     def loss_fn(gen_params):
-        variables = {"params": gen_params, **state.gen.extra}
+        params = gen_params
+        extra = state.gen.extra
+        if compute_dtype is not None:
+            cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: x.astype(compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            params, extra = cast(params), cast(extra)
+        variables = {"params": params, **extra}
         losses, aux, new_stats = _generator_losses(
             gen_model, variables, clean, noisy, rng_drop,
             arch=arch, criterion=criterion, comp_type=comp_type,
-            n_fft=n_fft, hop=hop, train=True,
+            n_fft=n_fft, hop=hop, train=True, compute_dtype=compute_dtype,
         )
         if gan_active:
             d_fake = disc_model.apply(

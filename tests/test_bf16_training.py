@@ -30,6 +30,46 @@ def _make_state(tx):
     )
 
 
+def test_gan_generator_step_bf16_close_to_fp32(rng):
+    """bf16 GAN generator step (compute_dtype): fp32 master params, fp32
+    losses, generator fwd/bwd in bf16 — loss and update near fp32."""
+    from speech_enhancement_tpu.models import Discriminator, TSCNet
+    from speech_enhancement_tpu.train import (
+        create_gan_state,
+        gan_generator_step,
+        l2_loss,
+    )
+
+    gen = TSCNet(num_channel=8, num_features=201)
+    disc = Discriminator(ndf=4)
+    tx = optax.sgd(1e-3)
+    state = create_gan_state(jax.random.PRNGKey(0), gen, disc, tx, tx,
+                             length=L)
+    clean = jnp.asarray(0.1 * rng.standard_normal((B, L)).astype(np.float32))
+    noisy = clean + 0.02 * jnp.asarray(
+        rng.standard_normal((B, L)).astype(np.float32))
+    kwargs = dict(gen_model=gen, disc_model=disc, arch="scp",
+                  criterion=l2_loss, gan_active=True, gen_tx=tx)
+    s32, a32 = gan_generator_step(state, clean, noisy, jax.random.PRNGKey(1),
+                                  **kwargs)
+    s16, a16 = gan_generator_step(state, clean, noisy, jax.random.PRNGKey(1),
+                                  compute_dtype=jnp.bfloat16, **kwargs)
+    l32, l16 = float(a32.metrics["loss"]), float(a16.metrics["loss"])
+    assert np.isfinite(l16)
+    np.testing.assert_allclose(l32, l16, rtol=0.1)
+    # master params stay fp32 and move
+    leaves16 = jax.tree_util.tree_leaves(s16.gen.params)
+    assert all(x.dtype == jnp.float32 for x in leaves16)
+    deltas = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(state.gen.params), leaves16)
+    ]
+    assert max(deltas) > 0
+    # bf16 batch_stats are folded back to fp32 masters
+    stats = jax.tree_util.tree_leaves(s16.gen.extra["batch_stats"])
+    assert all(x.dtype == jnp.float32 for x in stats)
+
+
 def test_tsc_step_bf16_close_to_fp32(rng):
     tx = optax.adamw(1e-4)
     model, state = _make_state(tx)
