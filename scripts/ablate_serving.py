@@ -81,6 +81,8 @@ def main() -> None:
                    help="int8 encoder/decoder convs (ops/int8.py)")
     p.add_argument("--no-fused", action="store_true",
                    help="XLA attention instead of the Pallas kernel")
+    p.add_argument("--fused-stft", action="store_true",
+                   help="Pallas hop-block STFT/iSTFT kernels")
     args = p.parse_args()
 
     apply_ablation(args.zero)
@@ -103,7 +105,8 @@ def main() -> None:
         spec,
     )
     enhancer = Enhancer(model, variables, 400, 100,
-                        compute_dtype=jnp.bfloat16)
+                        compute_dtype=jnp.bfloat16,
+                        fused_stft=args.fused_stft)
     fn = enhancer._get_compiled(LENGTH)
 
     rng = np.random.default_rng(0)
@@ -122,6 +125,7 @@ def main() -> None:
         "zero": args.zero,
         "quantized": args.quantized,
         "fused": not args.no_fused,
+        "fused_stft": args.fused_stft,
         "ms_per_batch": round(1000 * dt / ITERS, 1),
         "utt_per_sec": round(BATCH * ITERS / dt, 2),
     }))

@@ -52,6 +52,7 @@ class Enhancer:
         compute_dtype=None,
         matmul_precision: str | None = "bfloat16",
         mesh=None,
+        fused_stft: bool = False,
     ):
         """``mesh``: an optional 1-D ``jax.sharding.Mesh`` ("data" axis) —
         batches are sharded over it and params replicated, so enhancement
@@ -84,11 +85,25 @@ class Enhancer:
         self.dtype = dtype
         self.compute_dtype = compute_dtype
         self.matmul_precision = matmul_precision
+        # fused_stft: route featurization through the Pallas hop-block
+        # kernels (ops/pallas_stft.py) instead of the XLA matmul DSP
+        self.fused_stft = fused_stft
         self._compiled = {}
 
     def _step(self, variables, noisy: jnp.ndarray) -> jnp.ndarray:
+        if self.fused_stft:
+            from speech_enhancement_tpu.ops.pallas_stft import (
+                pallas_istft,
+                pallas_stft,
+            )
+
+            stft_fn = pallas_stft
+            istft_fn = pallas_istft
+        else:
+            stft_fn = compressed_stft
+            istft_fn = uncompressed_istft
         _, noisy_n, c = normalize_batch(noisy, noisy)
-        spec = compressed_stft(noisy_n, self.n_fft, self.hop, comp_type="pow")
+        spec = stft_fn(noisy_n, self.n_fft, self.hop, comp_type="pow")
         if self.compute_dtype is not None:
             cd = self.compute_dtype
             variables = jax.tree_util.tree_map(
@@ -102,7 +117,7 @@ class Enhancer:
         est_real, est_imag = self.model.apply(
             variables, spec_in, deterministic=True
         )
-        est = uncompressed_istft(
+        est = istft_fn(
             jax.lax.complex(est_real.astype(jnp.float32),
                             est_imag.astype(jnp.float32)),
             self.n_fft,

@@ -26,6 +26,17 @@ HBM.  Design rules learned from profiling on v5e:
   are expensive), a VPU fma loop over d also loses, and Mosaic rejects
   4D blocks indexed on a middle dim ("unsupported shape cast") — hence
   the flat h*d layout.
+* measured SLOWER (round 3, don't retry): i-packing the bias matmul —
+  P=4 consecutive query indices block-diagonal in the contraction
+  (M=P*h*rows=128, K=P*d, n/P batches, exact math) runs 400.9 vs
+  328.8 ms/batch e2e; the lane-offset pads + per-head interleave cost
+  far more than the "fewer MXU passes" save (the pass-count model also
+  failed to predict batch tiles 8/16/32 measuring identical: 328.8 /
+  327.8 / 329.8).  Kernel-internal cost split (timing-only variants,
+  scripts/ablate_attention_kernel.py): zeroing the whole Shaw bias saves
+  37.5 ms e2e, replacing softmax with a scale saves 12.9 ms — i.e. the
+  bias is ~half the time-attention cost but no cheaper formulation has
+  been found on this hardware.
 
 Semantics match models/conformer.py::ShawAttention (conformer.py:74-125 in
 the reference): softmax((q k^T + shaw_bias) * scale) v with

@@ -37,6 +37,37 @@ def test_fused_matches_reference_math(rng, n):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n,h,d,tile", [(33, 2, 8, 4), (21, 4, 16, 2),
+                                        (101, 4, 16, 8)])
+def test_fused_small_batch_tiles_match_reference(rng, n, h, d, tile):
+    """Explicit small batch tiles (ragged grids, b not a tile multiple)
+    must equal the naive per-(i,j) reference exactly."""
+    b = 5  # deliberately not a multiple of the tile
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((1025, d)).astype(np.float32))
+    scale = d**-0.5
+
+    got = np.asarray(
+        fused_shaw_attention(q, k, v, table, 512, scale, batch_tile=tile)
+    )
+
+    qh = np.asarray(q).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kh = np.asarray(k).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    vh = np.asarray(v).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    dots = np.einsum("bid,bjd->bij", qh, kh) * scale
+    tab = np.asarray(table)
+    for i in range(n):
+        for j in range(n):
+            dots[:, i, j] += (qh[:, i] @ tab[i - j + 512]) * scale
+    e = np.exp(dots - dots.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    want = np.einsum("bij,bjd->bid", attn, vh)
+    want = want.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_attention_gradients_match_xla(rng):
     """The custom_vjp backward (XLA recompute) must match differentiating
     the plain einsum path — the fused kernel is trainable."""
