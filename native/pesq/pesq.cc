@@ -16,14 +16,17 @@
 // symmetric disturbance aggregation (L2 over bands, L6 over frames within
 // split-seconds, L2 over split-seconds), raw score 4.5 - 0.1 d_sym -
 // 0.0309 d_asym, and the P.862.2 wideband MOS-LQO logistic map.  Time
-// alignment is a single constant-delay estimate (no per-utterance
-// splitting): correct for this framework's use case where reference and
-// degraded signals are sample-aligned by construction.  Scores are
+// alignment is a global constant-delay estimate followed by per-utterance
+// fine alignment (envelope-detected speech bursts, bounded local
+// cross-correlation — the P.862 utterance-splitting stage); sample-aligned
+// pairs (this framework's construction) pass through unchanged.  Scores are
 // calibrated to the published anchor behavior (identical signals -> 4.64)
 // and are monotone in distortion; they are not guaranteed bit-exact
 // against the ITU binary.
 
 #include <algorithm>
+#include <cstdio>
+#include <cstdlib>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -193,46 +196,33 @@ double bandpass_power(const std::vector<double>& x, int fs) {
 }
 
 // ----------------------------------------------------------------------
-// Crude constant-delay estimate via 4 ms frame-energy cross-correlation.
+// Global constant-delay estimate: sample-level FFT cross-correlation of
+// the full signals, argmax over +/- 500 ms.  (An earlier 4 ms
+// log-energy-envelope version mis-estimated noisy pairs by thousands of
+// samples — noise fills the silent gaps and flattens the envelope, so
+// spurious envelope-correlation peaks win; the raw-waveform correlation
+// peak at the true delay is far more robust and exact to the sample.)
 // ----------------------------------------------------------------------
 int estimate_delay(const std::vector<double>& ref,
                    const std::vector<double>& deg, int fs) {
-  const int frame = fs / 250;  // 4 ms
-  const size_t nr = ref.size() / frame, nd = deg.size() / frame;
-  if (nr < 4 || nd < 4) return 0;
-  auto envelope = [&](const std::vector<double>& x, size_t nf) {
-    std::vector<double> e(nf);
-    for (size_t i = 0; i < nf; ++i) {
-      double s = 0.0;
-      for (int j = 0; j < frame; ++j) s += x[i * frame + j] * x[i * frame + j];
-      e[i] = std::log10(s + 1e-10);
-    }
-    const double mean = [&] {
-      double m = 0;
-      for (double v : e) m += v;
-      return m / e.size();
-    }();
-    for (auto& v : e) v -= mean;
-    return e;
-  };
-  std::vector<double> er = envelope(ref, nr), ed = envelope(deg, nd);
-  const size_t n = next_pow2(nr + nd);
+  if (ref.size() < 256 || deg.size() < 256) return 0;
+  const size_t n = next_pow2(ref.size() + deg.size());
   std::vector<double> ar(n, 0.0), ai(n, 0.0), br(n, 0.0), bi(n, 0.0);
-  std::copy(er.begin(), er.end(), ar.begin());
-  std::copy(ed.begin(), ed.end(), br.begin());
+  std::copy(ref.begin(), ref.end(), ar.begin());
+  std::copy(deg.begin(), deg.end(), br.begin());
   fft(ar, ai);
   fft(br, bi);
-  // cross-correlation via conj(A)*B, inverse FFT by conjugation trick
+  // c[lag] = sum_i ref[i] * deg[i + lag]: conj(A)*B, inverse FFT by the
+  // conjugation trick (real-part argmax is scale-invariant, skip the /n)
   std::vector<double> cr(n), ci(n);
   for (size_t k = 0; k < n; ++k) {
     cr[k] = ar[k] * br[k] + ai[k] * bi[k];
-    ci[k] = ar[k] * bi[k] - ai[k] * br[k];
+    ci[k] = -(ar[k] * bi[k] - ai[k] * br[k]);
   }
-  for (size_t k = 0; k < n; ++k) ci[k] = -ci[k];
   fft(cr, ci);
+  const int max_lag = std::min<int>(fs / 2, static_cast<int>(n) / 2 - 1);
   int best_lag = 0;
   double best = -1e300;
-  const int max_lag = static_cast<int>(std::min<size_t>(nr, nd)) / 2;
   for (int lag = -max_lag; lag <= max_lag; ++lag) {
     const size_t idx = lag >= 0 ? lag : n + lag;
     if (cr[idx] > best) {
@@ -240,30 +230,139 @@ int estimate_delay(const std::vector<double>& ref,
       best_lag = lag;
     }
   }
-  // fine: sample-level cross-correlation in a +/- one-frame window around
-  // the crude estimate (replaces P.862's per-utterance fine alignment for
-  // the constant-delay case)
-  const int crude = best_lag * frame;
-  int best_fine = crude;
-  double best_c = -1e300;
-  const int span = static_cast<int>(std::min(ref.size(), deg.size()));
-  for (int lag = crude - frame; lag <= crude + frame; ++lag) {
-    double c = 0.0;
-    const int lo = std::max(0, lag);
-    const int hi = std::min(span, span + lag);
-    // correlate ref[i - lag] with deg[i]
-    for (int i = lo; i < hi; i += 1) {
-      const int j = i - lag;
-      if (j < 0 || j >= static_cast<int>(ref.size())) continue;
-      if (i >= static_cast<int>(deg.size())) break;
-      c += ref[j] * deg[i];
+  return best_lag;  // samples: deg delayed by best_lag vs ref
+}
+
+// ----------------------------------------------------------------------
+// Per-utterance fine alignment (the P.862 utterance-splitting stage).
+//
+// After global constant-delay compensation, detect speech utterances on
+// the reference via the 4 ms log-energy envelope, estimate a bounded
+// local delay per utterance (coarse envelope cross-correlation refined by
+// sample-level search), and rebuild the degraded signal with each
+// utterance's segment locally shifted.  A local shift is only applied
+// when its normalized correlation beats lag 0 by a clear margin, so
+// sample-aligned pairs (this framework's training/eval case) pass through
+// bit-identically and calibration anchors are unaffected.
+// ----------------------------------------------------------------------
+void align_utterances(const std::vector<double>& ref,
+                      std::vector<double>& deg, int fs) {
+  const int frame = fs / 250;  // 4 ms
+  const size_t nf = std::min(ref.size(), deg.size()) / frame;
+  if (nf < 75) return;  // < 300 ms: nothing to split
+  const int max_lag = (3 * fs) / 40;  // +/- 75 ms local search window
+
+  // speech activity on the reference envelope: within 25 dB of the peak
+  std::vector<double> e(nf);
+  double peak = -1e300;
+  for (size_t i = 0; i < nf; ++i) {
+    double s = 0.0;
+    for (int j = 0; j < frame; ++j)
+      s += ref[i * frame + j] * ref[i * frame + j];
+    e[i] = 10.0 * std::log10(s + 1e-10);
+    peak = std::max(peak, e[i]);
+  }
+  std::vector<char> act(nf);
+  for (size_t i = 0; i < nf; ++i) act[i] = e[i] > peak - 25.0;
+  // merge gaps < 200 ms so one utterance spans short pauses
+  const int min_gap = 50;
+  int last_on = -1;
+  for (size_t i = 0; i < nf; ++i) {
+    if (!act[i]) continue;
+    if (last_on >= 0 && static_cast<int>(i) - last_on < min_gap)
+      for (int j = last_on + 1; j < static_cast<int>(i); ++j) act[j] = 1;
+    last_on = static_cast<int>(i);
+  }
+
+  std::vector<double> out = deg;
+  size_t i = 0;
+  while (i < nf) {
+    if (!act[i]) {
+      ++i;
+      continue;
     }
-    if (c > best_c) {
-      best_c = c;
-      best_fine = lag;
+    size_t s = i;
+    while (i < nf && act[i]) ++i;
+    const size_t e_fr = i;
+    if (static_cast<int>(e_fr - s) < 25) continue;  // < 100 ms burst
+    const int lo = static_cast<int>(s) * frame;
+    const int hi = static_cast<int>(e_fr) * frame;
+
+    // coarse: envelope cross-correlation over frame-granular lags
+    const int nseg = static_cast<int>(e_fr - s);
+    auto seg_env = [&](const std::vector<double>& x, int start_fr,
+                       int count) {
+      std::vector<double> env(count, 0.0);
+      for (int f = 0; f < count; ++f) {
+        const int base = (start_fr + f) * frame;
+        if (base < 0 ||
+            base + frame > static_cast<int>(x.size()))
+          continue;
+        double ss = 0.0;
+        for (int j = 0; j < frame; ++j) ss += x[base + j] * x[base + j];
+        env[f] = std::log10(ss + 1e-10);
+      }
+      // mean-center: raw log-energy dot products are dominated by the
+      // (negative) baseline, not the alignment
+      double m = 0.0;
+      for (double v : env) m += v;
+      m /= count;
+      for (double& v : env) v -= m;
+      return env;
+    };
+    const std::vector<double> er = seg_env(ref, static_cast<int>(s), nseg);
+    const int max_lag_fr = max_lag / frame;
+    int best_fr = 0;
+    double best_fr_c = -1e300;
+    for (int lag = -max_lag_fr; lag <= max_lag_fr; ++lag) {
+      const std::vector<double> ed =
+          seg_env(deg, static_cast<int>(s) + lag, nseg);
+      double c = 0.0;
+      for (int f = 0; f < nseg; ++f) c += er[f] * ed[f];
+      if (c > best_fr_c) {
+        best_fr_c = c;
+        best_fr = lag;
+      }
+    }
+
+    // fine: normalized sample cross-correlation around the coarse lag
+    auto ncorr = [&](int lag) {
+      double c = 0.0, pr = 1e-10, pd = 1e-10;
+      for (int t = lo; t < hi; ++t) {
+        const int u = t + lag;
+        if (u < 0 || u >= static_cast<int>(deg.size())) continue;
+        c += ref[t] * deg[u];
+        pr += ref[t] * ref[t];
+        pd += deg[u] * deg[u];
+      }
+      return c / std::sqrt(pr * pd);
+    };
+    const int center = best_fr * frame;
+    int best = 0;
+    double best_c = ncorr(0);
+    const double r0 = best_c;
+    for (int lag = center - frame; lag <= center + frame; ++lag) {
+      if (lag == 0) continue;
+      const double c = ncorr(lag);
+      if (c > best_c) {
+        best_c = c;
+        best = lag;
+      }
+    }
+    // apply only a clearly better non-zero shift (keeps aligned pairs
+    // bit-identical)
+    if (std::getenv("SE_PESQ_DEBUG"))
+      std::fprintf(stderr,
+                   "[pesq] utt [%d,%d): coarse %d fine %d r0=%.3f rb=%.3f\n",
+                   lo, hi, center, best, r0, best_c);
+    if (best != 0 && best_c > r0 + 0.05) {
+      for (int t = lo; t < hi && t < static_cast<int>(out.size()); ++t) {
+        const int u = t + best;
+        out[t] = (u >= 0 && u < static_cast<int>(deg.size())) ? deg[u] : 0.0;
+      }
     }
   }
-  return best_fine;  // samples: deg delayed by best_fine vs ref
+  deg.swap(out);
 }
 
 // ----------------------------------------------------------------------
@@ -408,6 +507,12 @@ PesqResult pesq_internal(const float* ref_in, size_t n_ref,
   const size_t n = std::min(ref.size(), deg.size());
   ref.resize(n);
   deg.resize(n);
+
+  if (std::getenv("SE_PESQ_DEBUG"))
+    std::fprintf(stderr, "[pesq] global delay estimate: %d\n", delay);
+
+  // ---- per-utterance fine alignment (P.862 utterance splitting)
+  align_utterances(ref, deg, fs);
 
   // ---- perceptual model
   const double sp = 6.910853e-6;   // power scaling, 16 kHz (pesqpar)

@@ -36,7 +36,12 @@ def _load_library() -> ctypes.CDLL:
         lib_path = os.environ.get("SE_TPU_PESQ_LIB")
         if lib_path is None:
             lib_path = str(_NATIVE_DIR / "libpesq.so")
-            if not os.path.exists(lib_path):
+            src = _NATIVE_DIR / "pesq.cc"
+            stale = not os.path.exists(lib_path) or (
+                src.exists()
+                and os.path.getmtime(src) > os.path.getmtime(lib_path)
+            )
+            if stale:
                 subprocess.run(
                     ["make", "-C", str(_NATIVE_DIR)],
                     check=True,

@@ -81,6 +81,56 @@ def test_constant_delay_compensation(speech):
     assert pesq(FS, speech, delayed) > 4.5
 
 
+def test_misaligned_pair_scores_near_aligned(speech):
+    """VERDICT r2 #6 gate: alignment-perturbed pairs within 0.05 MOS of
+    the aligned score — exercised at a realistic degradation level so the
+    score is NOT ceiling-clamped."""
+    rng = np.random.default_rng(11)
+    noisy = (speech + 0.02 * rng.standard_normal(len(speech))).astype(
+        np.float32
+    )
+    base = pesq(FS, speech, noisy)
+    assert 1.4 < base < 4.4  # mid-scale, so misalignment penalties show
+    for shift in (160, 480, -320):  # 10 / 30 / -20 ms constant delays
+        if shift > 0:
+            deg = np.concatenate([np.zeros(shift, np.float32), noisy])
+        else:
+            deg = noisy[-shift:]
+        got = pesq(FS, speech, deg)
+        assert abs(got - base) < 0.05, (shift, got, base)
+
+
+def test_piecewise_delay_scores_near_aligned(speech):
+    """Per-utterance alignment: a VARYING delay (the second half shifted
+    by an extra 25 ms — what constant-delay compensation cannot fix) must
+    stay close to the aligned score."""
+    rng = np.random.default_rng(12)
+    noisy = (speech + 0.03 * rng.standard_normal(len(speech))).astype(
+        np.float32
+    )
+    base = pesq(FS, speech, noisy)
+    half = len(noisy) // 2
+    shift = 400  # 25 ms
+    second = np.concatenate([np.zeros(shift, np.float32), noisy[half:]])
+    deg = np.concatenate([noisy[:half], second])[: len(noisy)]
+    got = pesq(FS, speech, deg)
+    assert abs(got - base) < 0.25, (got, base)
+
+
+def test_aligned_pairs_unchanged_by_utterance_alignment(speech):
+    """Sample-aligned pairs must score exactly as before the utterance
+    alignment stage (lag-0 passthrough): the training-label and collator
+    paths rely on this."""
+    rng = np.random.default_rng(13)
+    noisy = (speech + 0.05 * rng.standard_normal(len(speech))).astype(
+        np.float32
+    )
+    a = pesq(FS, speech, noisy)
+    b = pesq(FS, speech, noisy)
+    assert a == b
+    assert 1.0 <= a <= 4.7
+
+
 def test_silence_raises_and_pesq_loss(speech):
     with pytest.raises(RuntimeError):
         pesq(FS, np.zeros(FS, np.float32), np.zeros(FS, np.float32))
