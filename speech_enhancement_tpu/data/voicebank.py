@@ -79,6 +79,11 @@ class Collator:
     """Crop/tile records to a fixed length with PESQ silence retry
     (voicebank_dataset.py:62-117)."""
 
+    # PESQ(x, x) self-anchor, lazily pinned by one engine call (class-level:
+    # shared across collator instances and worker threads; benign race —
+    # every writer stores the same constant)
+    _pesq_self_anchor: float | None = None
+
     def __init__(
         self,
         samples_per_frame: int = 100,
@@ -137,8 +142,28 @@ class Collator:
             # step sees (function.py:647-659 normalization happens on
             # device; PESQ is level-aligned so normalization is a no-op
             # for the score — use the raw crops directly)
-            pesq_clean = ((batch_pesq_raw(audio, audio, self.sample_rate) - 1.0)
-                          / 3.5).astype(np.float32)
+            if self.silence_check:
+                # PESQ(x, x) is a CONSTANT for any non-silent x (every
+                # disturbance term is exactly zero -> the fixed 4.644
+                # self-anchor), and the silence retry above already
+                # guaranteed non-silent crops — so one engine call pins the
+                # constant and the whole q_clean batch pass is skipped
+                # (halves the label cost; labels are the loader's
+                # bottleneck, docs/LOADER_BENCH.md)
+                if Collator._pesq_self_anchor is None:
+                    Collator._pesq_self_anchor = float(
+                        batch_pesq_raw(audio[:1], audio[:1],
+                                       self.sample_rate)[0]
+                    )
+                pesq_clean = np.full(
+                    len(cleans), (Collator._pesq_self_anchor - 1.0) / 3.5,
+                    np.float32,
+                )
+            else:
+                pesq_clean = (
+                    (batch_pesq_raw(audio, audio, self.sample_rate) - 1.0)
+                    / 3.5
+                ).astype(np.float32)
             pesq_noisy = ((batch_pesq_raw(audio, noisy, self.sample_rate) - 1.0)
                           / 3.5).astype(np.float32)
         return Batch(audio, noisy, pesq_clean, pesq_noisy)

@@ -102,6 +102,21 @@ def test_collator_precomputed_labels(wav_dirs):
     assert np.all(batch.pesq_noisy < batch.pesq_clean)
 
 
+def test_collator_self_anchor_equals_batch_pass(wav_dirs):
+    """The constant-fill q_clean fast path (silence_check=True) must equal
+    the literal batch PESQ(clean, clean) pass bit-for-bit."""
+    clean_dir, noisy_dir = wav_dirs
+    ds = VoicebankDataset(clean_dir, noisy_dir)
+    fast = Collator(100, 160, rng=np.random.default_rng(1),
+                    precompute_labels=True, silence_check=True)
+    full = Collator(100, 160, rng=np.random.default_rng(1),
+                    precompute_labels=True, silence_check=False)
+    bf = fast.collate([ds[0], ds[1]])
+    bl = full.collate([ds[0], ds[1]])
+    np.testing.assert_array_equal(bf.pesq_clean, bl.pesq_clean)
+    np.testing.assert_array_equal(bf.audio, bl.audio)
+
+
 def test_dataloader_sharding_and_epochs(wav_dirs):
     clean_dir, noisy_dir = wav_dirs
     ds = VoicebankDataset(clean_dir, noisy_dir)
