@@ -362,8 +362,15 @@ def main(argv=None):
             q_est = (batch_pesq_raw(batch.audio[:, : est.shape[1]], est) - 1.0) / 3.5
             d_fake = np.asarray(aux.metrics["d_fake"])
             d_real = np.asarray(aux.metrics["d_real"])
-            disc_loss = float(np.mean((d_real - 1.0) ** 2)
-                              + np.mean((d_fake - q_est) ** 2))
+            # validation disc loss L_C + L_E through the ACTUAL criterion
+            # (function.py:425-429; the reference computes it regardless
+            # of gen-first/gan_active, and so do we)
+            disc_loss = float(
+                criterion(jnp.asarray(d_real),
+                          jnp.ones(d_real.shape[0], jnp.float32))
+                + criterion(jnp.asarray(d_fake),
+                            jnp.asarray(q_est, jnp.float32))
+            )
             vg.update(float(losses["loss"]), b)
             vd.update(disc_loss, b)
 
