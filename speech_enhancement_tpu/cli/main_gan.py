@@ -95,6 +95,17 @@ def parse_option(argv=None):
     )
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
+    parser.add_argument(
+        "--precision", default="fp32", choices=["fp32", "bf16"],
+        help="bf16: generator fwd/bwd in bfloat16 with fp32 master "
+             "params/losses (the AMP analogue; 1.36x step speedup on "
+             "v5e, docs/TRAIN_BENCH.md)",
+    )
+    parser.add_argument(
+        "--fused-attention", action="store_true",
+        help="Pallas fused time-axis attention in the generator "
+             "(custom_vjp backward recomputes via XLA)",
+    )
     parser.add_argument("--debug", action="store_true",
                         help="enable jax_debug_nans")
     parser.add_argument("--n-devices", default=None, type=int)
@@ -128,10 +139,12 @@ def main(argv=None):
     logger = create_logger(config.OUTPUT, dist_rank=rank, name=args.arch)
     logger.info(f"devices: {mesh.devices.size}, arch: {args.arch}")
 
-    gen_model = TSCNet(num_channel=64, num_features=config.N_FFT // 2 + 1)
+    gen_model = TSCNet(num_channel=64, num_features=config.N_FFT // 2 + 1,
+                       fused_attention=args.fused_attention)
     disc_model = Discriminator(ndf=16)
     # the reference hardcodes MSE for the GAN path (main_gan.py:190)
     criterion = build_criterion("mse")
+    compute_dtype = jnp.bfloat16 if args.precision == "bf16" else None
 
     crop_len = config.CROP_FRAMES * config.HOP_SAMPLES * config.CROP_LEN
 
@@ -299,7 +312,7 @@ def main(argv=None):
                 gen_model=gen_model, disc_model=disc_model, arch=args.arch,
                 criterion=criterion, comp_type=args.comp_type,
                 gan_active=gan_active, loss_weights=loss_weights,
-                gen_tx=gen_tx,
+                gen_tx=gen_tx, compute_dtype=compute_dtype,
             )
             if gan_active:
                 q_clean = jnp.asarray(batch.pesq_clean)

@@ -56,9 +56,11 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     import speech_enhancement_tpu.cli.main_gan as mg
 
     monkeypatch.setattr(
-        mg, "TSCNet", lambda num_channel, num_features: __import__(
+        mg, "TSCNet",
+        lambda num_channel, num_features, fused_attention=False: __import__(
             "speech_enhancement_tpu.models", fromlist=["TSCNet"]
-        ).TSCNet(num_channel=8, num_features=num_features),
+        ).TSCNet(num_channel=8, num_features=num_features,
+                 fused_attention=fused_attention),
     )
     monkeypatch.setattr(
         mg, "Discriminator", lambda ndf: __import__(
@@ -69,6 +71,7 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
         "-a", "scp", "--cfg", cfg, "--output", str(out), "--epochs", "1",
         "--seed", "3", "-j", "2", "-p", "1", "--n-devices", "1",
         "--async-disc",  # exercise the pipelined PESQ label path
+        "--precision", "bf16",  # the fast AMP-analogue training mode
     ])
     ckpt = out / "scp" / "default" / "checkpoint_0000"
     assert ckpt.exists()
@@ -130,9 +133,11 @@ def test_main_gan_resume_auto(tiny_dataset, monkeypatch):
     import speech_enhancement_tpu.cli.main_gan as mg
 
     monkeypatch.setattr(
-        mg, "TSCNet", lambda num_channel, num_features: __import__(
+        mg, "TSCNet",
+        lambda num_channel, num_features, fused_attention=False: __import__(
             "speech_enhancement_tpu.models", fromlist=["TSCNet"]
-        ).TSCNet(num_channel=8, num_features=num_features),
+        ).TSCNet(num_channel=8, num_features=num_features,
+                 fused_attention=fused_attention),
     )
     monkeypatch.setattr(
         mg, "Discriminator", lambda ndf: __import__(
