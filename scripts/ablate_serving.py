@@ -83,6 +83,8 @@ def main() -> None:
                    help="XLA attention instead of the Pallas kernel")
     p.add_argument("--fused-stft", action="store_true",
                    help="Pallas hop-block STFT/iSTFT kernels")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
 
     apply_ablation(args.zero)
@@ -104,13 +106,15 @@ def main() -> None:
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         spec,
     )
-    enhancer = Enhancer(model, variables, 400, 100,
-                        compute_dtype=jnp.bfloat16,
-                        fused_stft=args.fused_stft)
+    enhancer = Enhancer(
+        model, variables, 400, 100,
+        compute_dtype=jnp.bfloat16 if args.precision == "bf16" else None,
+        fused_stft=args.fused_stft,
+    )
     fn = enhancer._get_compiled(LENGTH)
 
     rng = np.random.default_rng(0)
-    base = 0.1 * rng.standard_normal((BATCH, LENGTH)).astype(np.float32)
+    base = 0.1 * rng.standard_normal((args.batch, LENGTH)).astype(np.float32)
     xs = [jnp.asarray(base * (1.0 + 0.001 * i)) for i in range(WARMUP + ITERS)]
     # per-iteration one-element host read: block_until_ready is a no-op on
     # current axon runtimes, so a read is the only true per-batch barrier
@@ -126,8 +130,10 @@ def main() -> None:
         "quantized": args.quantized,
         "fused": not args.no_fused,
         "fused_stft": args.fused_stft,
+        "precision": args.precision,
+        "batch": args.batch,
         "ms_per_batch": round(1000 * dt / ITERS, 1),
-        "utt_per_sec": round(BATCH * ITERS / dt, 2),
+        "utt_per_sec": round(args.batch * ITERS / dt, 2),
     }))
 
 

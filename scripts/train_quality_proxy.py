@@ -103,6 +103,7 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--report", default="docs/quality_proxy_run.md")
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(7)
@@ -131,6 +132,7 @@ def main() -> int:
         "--epochs", str(args.epochs), "--optimizer", "adamw",
         "--lr", "5e-4", "--criterion", "mse", "--gen-first",
         "--seed", "3", "-j", "4", "-p", "20",
+        "--precision", args.precision,
     ] + opts)
 
     # noisy baseline on the test set
@@ -167,7 +169,8 @@ def main() -> int:
         f"{args.seconds:.0f}s, 0-10 dB SNR pink noise), evaluated with the",
         "`cli.inference_gan` checkpoint sweep on held-out pairs",
         "(reference inference_gan.py:134-152). Generated by",
-        "`scripts/train_quality_proxy.py` on one TPU v5e chip.",
+        f"`scripts/train_quality_proxy.py` on one TPU v5e chip "
+        f"({args.precision} training).",
         "",
         "| checkpoint | PESQ | CSIG | CBAK | COVL | SSNR | STOI |",
         "|---|---|---|---|---|---|---|",

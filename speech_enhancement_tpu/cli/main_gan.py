@@ -88,10 +88,10 @@ def parse_option(argv=None):
         help="train-step dispatch: two jitted phases with synchronous host "
              "PESQ labels ('two-phase'), the one-deep label pipeline "
              "('async': discriminator update lags one step; hides the host "
-             "PESQ cost when labels are expensive), or one fused jit with "
-             "io_callback labels ('fused'; needs a backend with host "
-             "callbacks — axon-tunneled chips lack them).  Default: "
-             "two-phase — fastest measured on v5e (docs/TRAIN_BENCH.md)",
+             "PESQ cost), or one fused jit with io_callback labels "
+             "('fused'; needs a backend with host callbacks — "
+             "axon-tunneled chips lack them).  Default: async — fastest "
+             "measured on v5e round 3 (docs/TRAIN_BENCH.md)",
     )
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
@@ -114,10 +114,10 @@ def parse_option(argv=None):
     parser.add_argument("--process-id", default=None, type=int)
     args = parser.parse_args(argv)
     if args.step_mode is None:
-        # sync two-phase is the fastest measured on v5e (the threaded C++
-        # PESQ labels cost less than the pipeline's extra dispatch lag —
-        # docs/TRAIN_BENCH.md); --async-disc keeps its old meaning
-        args.step_mode = "async" if args.async_disc else "two-phase"
+        # async is the fastest measured on v5e round 3 (the one-deep label
+        # pipeline hides the host PESQ cost — docs/TRAIN_BENCH.md);
+        # --async-disc stays as an explicit alias
+        args.step_mode = "async"
     elif args.async_disc and args.step_mode != "async":
         parser.error("--async-disc conflicts with --step-mode "
                      f"{args.step_mode}")

@@ -113,7 +113,8 @@ def test_step_mode_flag(tiny_dataset):
     root, cfg = tiny_dataset
     base = ["-a", "scp", "--cfg", cfg, "--output", str(root / "o")]
     args, _ = parse_option(base)
-    assert args.step_mode == "two-phase" and not args.async_disc
+    # async is the measured-fastest default (docs/TRAIN_BENCH.md round 3)
+    assert args.step_mode == "async" and args.async_disc
     args, _ = parse_option(base + ["--step-mode", "fused"])
     assert args.step_mode == "fused" and not args.async_disc
     args, _ = parse_option(base + ["--step-mode", "two-phase"])
