@@ -67,6 +67,7 @@ def commands_for(arch: str, cfg: str, out_dir: str, args) -> list[list[str]]:
         "--epochs", str(args.epochs), "-b", str(args.batch_size),
         "--criterion", "mse", "--gen-first", "--resume", "auto",
         "--step-mode", args.step_mode,
+        "--precision", args.train_precision,
         "--opts", "LOSS_WEIGHTS", loss_weights,
     ]
     sweep = [
@@ -115,6 +116,10 @@ def main() -> None:
     p.add_argument("--step-mode", default="async",
                    choices=["two-phase", "async"],
                    help="async overlaps host PESQ labels (docs/TRAIN_BENCH.md)")
+    p.add_argument("--train-precision", default="bf16",
+                   choices=["fp32", "bf16"],
+                   help="bf16 is quality-transparent on the proxy corpus "
+                        "(docs/quality_proxy_run.md) and 1.37x faster")
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
     p.add_argument("-o", "--output", default="runs/parity")
     p.add_argument("--dry-run", action="store_true")
