@@ -58,7 +58,7 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as root:
         clean_dir, noisy_dir = synth_corpus(root, args.n_utts)
-        ds = VoicebankDataset(noisy_dir, clean_dir)
+        ds = VoicebankDataset(clean_dir, noisy_dir)
 
         results = []
         for batch_size, workers in ((8, 4), (8, 8), (32, 8)):

@@ -86,6 +86,10 @@ def main() -> None:
     p.add_argument("--modes", nargs="+", default=None,
                    help="subset of sync/async/fused to run")
     args = p.parse_args()
+    if args.gen_only and (args.modes or ["sync"]) != ["sync"]:
+        p.error("--gen-only is only meaningful with --modes sync "
+                "(the async/fused runners always execute the "
+                "discriminator phase)")
 
     from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
     from speech_enhancement_tpu.models import Discriminator, TSCNet

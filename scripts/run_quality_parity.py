@@ -129,18 +129,33 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     cfg = build_config(out_dir, args)
 
+    # persistent XLA compile cache for every child process: without it a
+    # 2-arch run recompiles TSCNet-64 four times (and again on every
+    # --resume auto restart) at 4-8 min each (CLAUDE.md environment rule)
+    child_env = dict(os.environ)
+    child_env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                         os.path.join(HERE, ".jax_cache"))
+
     results = {}
     for arch in args.arch:
         for cmd in commands_for(arch, cfg, out_dir, args):
             print("$", " ".join(cmd), flush=True)
             if args.dry_run:
                 continue
-            proc = subprocess.run(cmd, text=True, capture_output=True)
-            sys.stdout.write(proc.stdout[-4000:])
-            sys.stderr.write(proc.stderr[-4000:])
-            if proc.returncode != 0:
-                raise SystemExit(f"{arch}: command failed ({proc.returncode})")
-            if "--validate-epochs" in cmd:
+            is_sweep = "--validate-epochs" in cmd
+            if is_sweep:
+                # capture the sweep to parse metric rows
+                proc = subprocess.run(cmd, text=True, capture_output=True,
+                                      env=child_env)
+                sys.stdout.write(proc.stdout[-4000:])
+                sys.stderr.write(proc.stderr[-4000:])
+                code = proc.returncode
+            else:
+                # stream the (possibly 100-epoch) training log live
+                code = subprocess.run(cmd, env=child_env).returncode
+            if code != 0:
+                raise SystemExit(f"{arch}: command failed ({code})")
+            if is_sweep:
                 best_epoch, row = parse_sweep_output(proc.stdout)
                 results[arch] = {"best_epoch": best_epoch, "metrics": row}
     if args.dry_run:

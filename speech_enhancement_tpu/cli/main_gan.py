@@ -143,7 +143,15 @@ def main(argv=None):
                        fused_attention=args.fused_attention)
     disc_model = Discriminator(ndf=16)
     # the reference hardcodes MSE for the GAN path (main_gan.py:190)
-    criterion = build_criterion("mse")
+    crit_name = "mse"
+    criterion = build_criterion(crit_name)
+    # host-side twin of the criterion for the validation disc loss: the
+    # inputs (d_fake/d_real/q_est) already live on the host, and an eager
+    # device call would cost a ~30 ms tunnel dispatch per batch
+    if crit_name in ("mae", "l1"):
+        np_criterion = lambda a, b: float(np.mean(np.abs(a - b)))  # noqa: E731
+    else:
+        np_criterion = lambda a, b: float(np.mean((a - b) ** 2))  # noqa: E731
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else None
 
     crop_len = config.CROP_FRAMES * config.HOP_SAMPLES * config.CROP_LEN
@@ -231,6 +239,7 @@ def main(argv=None):
                 gen_tx=gen_tx, disc_tx=disc_tx, arch=args.arch,
                 criterion=criterion, comp_type=args.comp_type,
                 gan_active=active, loss_weights=loss_weights,
+                compute_dtype=compute_dtype,
             )
         return fused_steps[active]
 
@@ -375,14 +384,12 @@ def main(argv=None):
             q_est = (batch_pesq_raw(batch.audio[:, : est.shape[1]], est) - 1.0) / 3.5
             d_fake = np.asarray(aux.metrics["d_fake"])
             d_real = np.asarray(aux.metrics["d_real"])
-            # validation disc loss L_C + L_E through the ACTUAL criterion
-            # (function.py:425-429; the reference computes it regardless
-            # of gen-first/gan_active, and so do we)
-            disc_loss = float(
-                criterion(jnp.asarray(d_real),
-                          jnp.ones(d_real.shape[0], jnp.float32))
-                + criterion(jnp.asarray(d_fake),
-                            jnp.asarray(q_est, jnp.float32))
+            # validation disc loss L_C + L_E through the configured
+            # criterion (function.py:425-429; the reference computes it
+            # regardless of gen-first/gan_active, and so do we)
+            disc_loss = (
+                np_criterion(d_real, np.float32(1.0))
+                + np_criterion(d_fake, q_est.astype(np.float32))
             )
             vg.update(float(losses["loss"]), b)
             vd.update(disc_loss, b)

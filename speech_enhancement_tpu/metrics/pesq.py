@@ -37,16 +37,24 @@ def _load_library() -> ctypes.CDLL:
         if lib_path is None:
             lib_path = str(_NATIVE_DIR / "libpesq.so")
             src = _NATIVE_DIR / "pesq.cc"
-            stale = not os.path.exists(lib_path) or (
-                src.exists()
-                and os.path.getmtime(src) > os.path.getmtime(lib_path)
+            missing = not os.path.exists(lib_path)
+            stale = not missing and src.exists() and (
+                os.path.getmtime(src) > os.path.getmtime(lib_path)
             )
-            if stale:
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                )
+            if missing or stale:
+                try:
+                    subprocess.run(
+                        ["make", "-C", str(_NATIVE_DIR)],
+                        check=True,
+                        capture_output=True,
+                    )
+                except (OSError, subprocess.CalledProcessError):
+                    # a checkout can land pesq.cc with a newer mtime than
+                    # the committed .so; if no toolchain is available,
+                    # keep using the existing library rather than failing
+                    # every PESQ call
+                    if missing:
+                        raise
         lib = ctypes.CDLL(lib_path)
         lib.pesq_mos.restype = ctypes.c_double
         lib.pesq_mos.argtypes = [

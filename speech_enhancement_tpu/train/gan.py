@@ -400,6 +400,7 @@ def make_fused_gan_train_step(
     gan_active: bool = True,
     loss_weights: tuple = (0.1, 0.9, 0.2, 0.05),
     sample_rate: int = 16000,
+    compute_dtype=None,
 ):
     """Single-dispatch GAN train step: the whole generator + discriminator
     update is ONE jitted call, with the PESQ labels entering through a
@@ -436,6 +437,7 @@ def make_fused_gan_train_step(
             gen_model=gen_model, disc_model=disc_model, arch=arch,
             criterion=criterion, comp_type=comp_type, gan_active=gan_active,
             loss_weights=loss_weights, gen_tx=gen_tx,
+            compute_dtype=compute_dtype,
         )
         if gan_active:
             b = clean.shape[0]

@@ -41,12 +41,22 @@ class StepTimer:
     def tick(self, outputs=None) -> float:
         if outputs is not None:
             # block_until_ready is a no-op on current axon runtimes
-            # (returns before execution finishes); a one-element
-            # device->host read is the only true barrier
-            for leaf in jax.tree_util.tree_leaves(outputs):
-                if hasattr(leaf, "ravel"):
-                    float(leaf.ravel()[0])
-                    break
+            # (returns before execution finishes); the true barrier is ONE
+            # device->host read that data-depends on EVERY leaf — leaves
+            # may come from separate dispatches, so fencing just the first
+            # would undercount
+            import jax.numpy as jnp
+
+            leaves = [
+                leaf for leaf in jax.tree_util.tree_leaves(outputs)
+                if hasattr(leaf, "ravel") and getattr(leaf, "size", 0)
+                and jnp.issubdtype(getattr(leaf, "dtype", None), jnp.number)
+                # complex device->host transfers are unimplemented on axon
+                and not jnp.issubdtype(leaf.dtype, jnp.complexfloating)
+            ]
+            if leaves:
+                float(sum(jnp.abs(jnp.ravel(leaf)[0]).astype(jnp.float32)
+                          for leaf in leaves))
             else:
                 jax.block_until_ready(outputs)
         now = time.perf_counter()
