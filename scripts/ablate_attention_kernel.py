@@ -18,7 +18,6 @@ Usage (TPU): python scripts/ablate_attention_kernel.py --variant nobias
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys
