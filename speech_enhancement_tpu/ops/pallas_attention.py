@@ -73,8 +73,14 @@ def _round_up(x: int, m: int) -> int:
 
 def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
                  scale):
-    """q/k/v/out_ref: [rows, n, h*d]; rel_ref: [n, d, n] with
-    rel[i, :, j] = E[clip(i - j)]."""
+    """q/out_ref: [rows, n_i, h*d]; k/v_ref: [rows, n, h*d]; rel_ref:
+    [n_i, d, n] with rel[i, :, j] = E[clip(i - j)].
+
+    The body is i/j-polymorphic: in the default single-block layout
+    n_i == n (whole instances resident in VMEM); for very long sequences
+    the caller grids over query blocks (n_i = _I_TILE) with full k/v per
+    instance — the softmax row [n_i, n] is always complete, so no online
+    softmax is needed and the math is identical."""
     # bias for ALL (head, instance) rows in one batched-over-i matmul
     parts = [
         jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
@@ -127,6 +133,44 @@ def _auto_batch_tile(n: int, heads: int,
     return 1 << (int(r).bit_length() - 1)
 
 
+def _min_vmem_bytes(n: int, h: int, d: int, itemsize: int) -> int:
+    """Lower-bound VMEM working set of ONE whole-instance kernel
+    invocation at batch_tile=1: the whole-rel operand [n, d, n], the
+    all-head biasT [n, h, n] fp32, ~3 live fp32 logits arrays, and the
+    q/k/v/out blocks.  Above the pallas_call's 100 MB scoped-vmem cap the
+    Mosaic compile FAILS outright (measured: n=1281 needs 120.1 MB), so
+    _kernel_call switches to the i-tiled grid beyond this."""
+    return (
+        n * d * n * itemsize          # rel
+        + n * h * n * 4               # biasT (fp32)
+        + 3 * n * n * 4               # dots/exp/attn live set per head
+        + 8 * n * h * d * itemsize    # double-buffered operand blocks
+    )
+
+
+# switch to the i-tiled grid when the whole-instance tile-1 working set
+# exceeds ~80% of the 100 MB scoped-vmem cap (n=1121 fits at ~75 MB —
+# hardware-validated; n=1281 needs ~98 MB by this estimate, 120 in
+# practice)
+_VMEM_FALLBACK_BYTES = 80 << 20
+_I_TILE = 128  # query-block length of the long-sequence grid
+
+
+def _auto_batch_tile_itiled(n: int, h: int, d: int, itemsize: int,
+                            i_tile: int, vmem_budget: int = 70 << 20) -> int:
+    """Batch tile for the i-tiled grid: per batch row the kernel keeps
+    biasT [i_tile, h*row, n] fp32, ~3 logits arrays [row, i_tile, n]
+    fp32, and the full k/v slices."""
+    per_row = (
+        i_tile * h * n * 4
+        + 3 * i_tile * n * 4
+        + 2 * n * h * d * itemsize
+        + 2 * i_tile * h * d * itemsize
+    )
+    r = max(1, vmem_budget // per_row)
+    return 1 << (int(r).bit_length() - 1)
+
+
 def _kernel_call(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -152,6 +196,48 @@ def _kernel_call(
     rel = jnp.transpose(rel, (0, 2, 1))                 # [i, d, j]
 
     qf, kf, vf = (x.reshape(b, n, h * d) for x in (q, k, v))
+
+    if _min_vmem_bytes(n, h, d, q.dtype.itemsize) > _VMEM_FALLBACK_BYTES:
+        # long sequence: grid over query blocks with full k/v per
+        # instance (whole-instance layout would need >100 MB scoped VMEM
+        # for the rel operand + logits; measured hard compile failure at
+        # n=1281).  Full softmax rows, identical math.
+        i_tile = _I_TILE
+        batch_tile = _auto_batch_tile_itiled(n, h, d, q.dtype.itemsize,
+                                             i_tile)
+        ni_pad = _round_up(n, i_tile)
+        qf = jnp.pad(qf, ((0, 0), (0, ni_pad - n), (0, 0)))
+        rel = jnp.pad(rel, ((0, ni_pad - n), (0, 0), (0, 0)))
+        b_pad = _round_up(b, batch_tile)
+        if b_pad != b:
+            pad = ((0, b_pad - b), (0, 0), (0, 0))
+            qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
+        kernel = functools.partial(
+            _attn_kernel, rows=batch_tile, n=n, h=h, d=d, scale=scale
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b_pad // batch_tile, ni_pad // i_tile),
+            in_specs=[
+                pl.BlockSpec((batch_tile, i_tile, h * d),
+                             index_map=lambda bb, ii: (bb, ii, 0)),
+                pl.BlockSpec((batch_tile, n, h * d),
+                             index_map=lambda bb, ii: (bb, 0, 0)),
+                pl.BlockSpec((batch_tile, n, h * d),
+                             index_map=lambda bb, ii: (bb, 0, 0)),
+                pl.BlockSpec((i_tile, d, n),
+                             index_map=lambda bb, ii: (ii, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((batch_tile, i_tile, h * d),
+                                   index_map=lambda bb, ii: (bb, ii, 0)),
+            out_shape=jax.ShapeDtypeStruct((b_pad, ni_pad, h * d), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(qf, kf, vf, rel)
+        return out[:b, :n].reshape(b, n, h, d)
+
     b_pad = _round_up(b, batch_tile)
     if b_pad != b:
         pad = ((0, b_pad - b), (0, 0), (0, 0))
@@ -251,6 +337,14 @@ def fused_shaw_attention(
     Differentiable: the forward runs the Pallas kernel; the backward
     recomputes the attention with XLA einsums (custom_vjp), so the fused
     path is usable in training, not just serving.
+
+    Very long sequences (n beyond ~1150 at the default head config, e.g.
+    utterances over ~7 s) exceed the whole-instance scoped-VMEM budget;
+    the kernel automatically grids over query blocks there (full k/v per
+    instance, complete softmax rows) — same math, bounded VMEM for any
+    length.  (The XLA einsum path is NOT a viable long-n fallback: its
+    [i, j, b, h] bias relayout would need 88 GB at the 8 s serving
+    bucket.)
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5

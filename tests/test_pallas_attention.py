@@ -110,6 +110,43 @@ def test_fused_attention_trains_through_module(rng):
     assert float(jnp.max(jnp.abs(grads["rel_pos_emb"]))) > 0
 
 
+def test_long_sequence_itiled_grid(rng):
+    """n beyond the whole-instance scoped-VMEM budget must route to the
+    i-tiled grid (the Mosaic compile hard-fails at ~n>1150: measured
+    120.1 MB needed vs the 100 MB cap at n=1281; the XLA fallback is no
+    option either — its [i,j,b,h] bias would be 88 GB at serving batch)
+    and still produce correct, differentiable results."""
+    from speech_enhancement_tpu.ops.pallas_attention import (
+        _VMEM_FALLBACK_BYTES,
+        _min_vmem_bytes,
+        _xla_attention,
+    )
+
+    # decision boundary: 7 s bucket (n=1121) stays whole-instance
+    # (hardware-validated), 8 s (n=1281) switches to the i-tiled grid
+    assert _min_vmem_bytes(1121, 4, 16, 2) <= _VMEM_FALLBACK_BYTES
+    assert _min_vmem_bytes(1281, 4, 16, 2) > _VMEM_FALLBACK_BYTES
+
+    # tiny-d config that trips the threshold at testable size, so the
+    # i-tiled pallas path itself runs under test (interpret mode on CPU);
+    # n NOT a multiple of the 128 i-tile to exercise the query padding
+    b, n, h, d = 2, 1547, 2, 4
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((1025, d)).astype(np.float32))
+    assert _min_vmem_bytes(n, h, d, 4) > _VMEM_FALLBACK_BYTES
+    got = fused_shaw_attention(q, k, v, table)
+    want = _xla_attention(q, k, v, table, 512, d**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # differentiable (custom_vjp backward)
+    g = jax.grad(
+        lambda q_: jnp.sum(fused_shaw_attention(q_, k, v, table) ** 2)
+    )(q)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_rel_skew_equals_gather_path(rng):
     """ShawAttention(rel_skew=True) — band projection + skew reshape —
     must equal the [i, j, d] gather + diagonal einsum path exactly."""
