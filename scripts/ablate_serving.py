@@ -84,18 +84,10 @@ def main() -> None:
     p.add_argument("--fused-stft", action="store_true",
                    help="Pallas hop-block STFT/iSTFT kernels")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--rel-skew", action="store_true",
-                   help="band-projection + skew reshape rel-pos logits in "
-                        "the XLA attention path (kills the freq-axis "
-                        "relayout copy)")
     p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
 
     apply_ablation(args.zero)
-    if args.rel_skew:
-        from speech_enhancement_tpu.models import conformer as _cm
-
-        _cm.ShawAttention.rel_skew = True  # dataclass default override
     if args.batch_tile:
         from speech_enhancement_tpu.ops import pallas_attention as pa
 
@@ -140,7 +132,6 @@ def main() -> None:
         "fused_stft": args.fused_stft,
         "precision": args.precision,
         "batch": args.batch,
-        "rel_skew": args.rel_skew,
         "ms_per_batch": round(1000 * dt / ITERS, 1),
         "utt_per_sec": round(args.batch * ITERS / dt, 2),
     }))

@@ -79,13 +79,15 @@ def main() -> None:
         assert len(out) == args.n
         best = min(best, time.perf_counter() - t0)
 
+    from speech_enhancement_tpu.enhance import round_to_bucket
+
     buckets = sorted({
-        (len(u) + 7999) // 8000 * 8000 for u in utts
+        round_to_bucket(len(u), enhancer.quantum, enhancer.hop) for u in utts
     })
     print(json.dumps({
         "n_utterances": args.n,
         "mean_seconds": round(float(secs.mean()), 2),
-        "buckets": [b // SR for b in buckets],
+        "bucket_seconds": [b / SR for b in buckets],
         "utt_per_sec": round(args.n / best, 2),
         "audio_seconds_per_sec": round(audio_seconds / best, 1),
         "realtime_factor": round(audio_seconds / best, 1),

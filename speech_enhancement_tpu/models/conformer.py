@@ -53,21 +53,6 @@ class FeedForward(nn.Module):
         return x
 
 
-def _skew(pos: jnp.ndarray) -> jnp.ndarray:
-    """Extract T[..., i, j] = pos[..., i, (i - j) + n - 1] from a
-    relative-position projection pos [..., n, 2n-1] with pads + reshapes
-    only (the music-transformer skew, j-reversed for Shaw's i-j
-    orientation) — no gather and no [i, j, d] rel tensor."""
-    *b, n, m = pos.shape
-    assert m == 2 * n - 1, (n, m)
-    x = pos[..., ::-1]
-    x = jnp.pad(x, [(0, 0)] * len(b) + [(0, 0), (1, 0)])   # [..., n, 2n]
-    x = x.reshape(*b, 2 * n, n)
-    x = x[..., 1:, :]                                       # [..., 2n-1, n]
-    x = x.reshape(*b, n, 2 * n - 1)
-    return x[..., :n]
-
-
 class ShawAttention(nn.Module):
     """MHSA with Shaw relative positional embeddings
     (conformer.py:74-125), pre-norm applied by caller.
@@ -75,15 +60,12 @@ class ShawAttention(nn.Module):
     ``fused=True`` routes through the Pallas VMEM-resident kernel
     (ops/pallas_attention.py): no HBM logits, same math/params.
 
-    ``rel_skew=True`` computes the XLA-path relative-position logits as a
-    band projection + skew reshape instead of the [i, j, d] gather +
-    diagonal einsum: same math, and the bias lands directly in the
-    logits' [b, h, i, j] layout.  Measured NEUTRAL on v5e serving
-    (330.2 vs 328.8 ms/batch): the profiled 13.3 ms/step relayout copy of
-    the freq rel einsum output (trace: copy.262) is replaced by the
-    skew's own minor-dim reshape shuffle of the same-sized tensor — the
-    relayout is intrinsic to this shape in XLA, whichever way it is
-    spelled.  Kept as an exact, tested alternative formulation.
+    A band-projection + music-transformer-skew formulation of the
+    relative-position logits (exact, gather-free, output directly in the
+    logits layout) was implemented and measured in round 3: 489.4 vs
+    328.8 ms/batch e2e on v5e — the skew's minor-dim reshapes cost far
+    more than the [i, j, b, h] relayout copy they avoid.  Removed; see
+    git history and CLAUDE.md negatives.
     """
 
     dim: int
@@ -92,7 +74,6 @@ class ShawAttention(nn.Module):
     dropout: float = 0.0
     max_pos_emb: int = 512
     fused: bool = False
-    rel_skew: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -152,20 +133,10 @@ class ShawAttention(nn.Module):
             nn.initializers.normal(1.0),
             (2 * self.max_pos_emb + 1, d),
         )
-        if self.rel_skew:
-            # band rows of the table for distances (i-j) in [-(n-1), n-1]
-            band_idx = np.clip(
-                np.arange(2 * n - 1) - (n - 1),
-                -self.max_pos_emb, self.max_pos_emb,
-            ) + self.max_pos_emb
-            band = jnp.asarray(table)[jnp.asarray(band_idx)].astype(q.dtype)
-            pos = jnp.einsum("bhid,ed->bhie", q, band)  # [b, h, n, 2n-1]
-            pos_attn = _skew(pos) * scale
-        else:
-            idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
-                          -self.max_pos_emb, self.max_pos_emb) + self.max_pos_emb
-            rel = jnp.asarray(table)[jnp.asarray(idx)].astype(q.dtype)  # [n, n, d]
-            pos_attn = jnp.einsum("bhid,ijd->bhij", q, rel) * scale
+        idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
+                      -self.max_pos_emb, self.max_pos_emb) + self.max_pos_emb
+        rel = jnp.asarray(table)[jnp.asarray(idx)].astype(q.dtype)  # [n, n, d]
+        pos_attn = jnp.einsum("bhid,ijd->bhij", q, rel) * scale
         dots = dots + pos_attn
 
         # softmax: max-subtraction bounds the exponent so bf16 logits are

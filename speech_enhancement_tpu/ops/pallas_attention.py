@@ -186,6 +186,7 @@ def _kernel_call(
     dtype = q.dtype
     if scale is None:
         scale = d**-0.5
+    _explicit_tile = batch_tile
     if batch_tile is None:
         batch_tile = _auto_batch_tile(n, h)
     # gather the [i, j] table once (tiny: n*n rows of the 2*max_pos_emb+1
@@ -203,8 +204,14 @@ def _kernel_call(
         # for the rel operand + logits; measured hard compile failure at
         # n=1281).  Full softmax rows, identical math.
         i_tile = _I_TILE
-        batch_tile = _auto_batch_tile_itiled(n, h, d, q.dtype.itemsize,
-                                             i_tile)
+        # honor an explicit caller batch_tile; auto-size otherwise (the
+        # whole-instance _auto_batch_tile default computed above is for
+        # the other layout and is always replaced here)
+        if _explicit_tile is None:
+            batch_tile = _auto_batch_tile_itiled(n, h, d, q.dtype.itemsize,
+                                                 i_tile)
+        else:
+            batch_tile = _explicit_tile
         ni_pad = _round_up(n, i_tile)
         qf = jnp.pad(qf, ((0, 0), (0, ni_pad - n), (0, 0)))
         rel = jnp.pad(rel, ((0, ni_pad - n), (0, 0), (0, 0)))
@@ -336,15 +343,19 @@ def fused_shaw_attention(
 
     Differentiable: the forward runs the Pallas kernel; the backward
     recomputes the attention with XLA einsums (custom_vjp), so the fused
-    path is usable in training, not just serving.
+    path is usable in training, not just serving.  NOTE the backward is
+    the XLA formulation, which materializes [b, h, n, n] logits — fine at
+    the training crop lengths (n~161 for 1 s crops), but long-n
+    GRADIENTS would hit the same memory blowup as XLA forward serving;
+    an i-tiled backward is future work if long-crop training is needed.
 
     Very long sequences (n beyond ~1150 at the default head config, e.g.
-    utterances over ~7 s) exceed the whole-instance scoped-VMEM budget;
-    the kernel automatically grids over query blocks there (full k/v per
-    instance, complete softmax rows) — same math, bounded VMEM for any
-    length.  (The XLA einsum path is NOT a viable long-n fallback: its
-    [i, j, b, h] bias relayout would need 88 GB at the 8 s serving
-    bucket.)
+    utterances over ~7 s) exceed the whole-instance scoped-VMEM budget in
+    the FORWARD; the kernel automatically grids over query blocks there
+    (full k/v per instance, complete softmax rows) — same math, bounded
+    VMEM for any length.  (The XLA einsum path is NOT a viable long-n
+    fallback: its [i, j, b, h] bias relayout would need 88 GB at the 8 s
+    serving bucket.)
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5

@@ -147,33 +147,6 @@ def test_long_sequence_itiled_grid(rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
-def test_rel_skew_equals_gather_path(rng):
-    """ShawAttention(rel_skew=True) — band projection + skew reshape —
-    must equal the [i, j, d] gather + diagonal einsum path exactly."""
-    for n in (7, 33, 101):
-        x = jnp.asarray(rng.standard_normal((2, n, 16)).astype(np.float32))
-        base = ShawAttention(dim=16, heads=2, dim_head=8)
-        vs = base.init({"params": jax.random.PRNGKey(0)}, x)
-        out_ref = base.apply(vs, x, deterministic=True)
-        skew = ShawAttention(dim=16, heads=2, dim_head=8, rel_skew=True)
-        out_skew = skew.apply(vs, x, deterministic=True)
-        np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_skew),
-                                   rtol=1e-5, atol=1e-6)
-
-
-def test_rel_skew_clamps_beyond_max_pos(rng):
-    """n > max_pos_emb: distances clamp to ±max_pos_emb in both paths."""
-    x = jnp.asarray(rng.standard_normal((1, 9, 16)).astype(np.float32))
-    base = ShawAttention(dim=16, heads=2, dim_head=8, max_pos_emb=4)
-    vs = base.init({"params": jax.random.PRNGKey(0)}, x)
-    out_ref = base.apply(vs, x, deterministic=True)
-    skew = ShawAttention(dim=16, heads=2, dim_head=8, max_pos_emb=4,
-                         rel_skew=True)
-    out_skew = skew.apply(vs, x, deterministic=True)
-    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_skew),
-                               rtol=1e-5, atol=1e-6)
-
-
 def test_fused_attention_module_equivalence(rng):
     """ShawAttention(fused=True) == ShawAttention(fused=False) with the
     same params."""
