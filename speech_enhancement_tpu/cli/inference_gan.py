@@ -144,7 +144,17 @@ def main(argv=None):
 
     if args.validate_epochs:
         if args.start is not None and args.end is not None:
-            epochs = list(range(args.start, args.end))
+            # apply the same restorable-'variables' filter as the
+            # default-discovery path: an emergency preemption checkpoint
+            # inside an explicit range must be skipped, not crash the sweep
+            epochs = []
+            for e in range(args.start, args.end):
+                p = Path(args.model_path) / f"checkpoint_{e:04d}"
+                if (p / "variables").exists():
+                    epochs.append(e)
+                else:
+                    print(f"skipping epoch {e}: no restorable variables "
+                          f"subtree under {p}")
         else:
             # default to the checkpoints actually present in model_path,
             # skipping any without a restorable 'variables' subtree (e.g.

@@ -179,6 +179,8 @@ def main(argv=None):
         valid_ds, batch_size, mk_collator(True), shuffle=False,
         shard_id=jax.process_index(), num_shards=jax.process_count(),
         num_workers=args.workers,
+        drop_last=False,  # validate every utterance (main_gan.py:287-298);
+        # the eval loop pads ragged tails to the mesh multiple and masks
     )
 
     iters_per_epoch = max(len(train_loader), 1)
@@ -365,25 +367,38 @@ def main(argv=None):
             disc_meter.update(float(disc_loss), p_b)
             pending = None
 
-        # ---- validation (function.py:346-451)
+        # ---- validation (function.py:346-451).  The reference validates
+        # EVERY utterance (main_gan.py:287-298): ragged tail batches are
+        # padded to the mesh multiple with repeated rows and the pad rows
+        # are masked out exactly (per-example losses), never dropped —
+        # the best-checkpoint decision must see the full validation set.
         vg, vd = AverageMeter(), AverageMeter()
         for batch in valid_loader:
-            if batch.audio.shape[0] == 0:
-                continue
             b = batch.audio.shape[0]
-            if b % mesh.devices.size != 0:
+            if b == 0:
                 continue
-            clean, noisy = shard_batch(mesh, batch.audio, batch.noisy)
+            # pad to the full batch size (not just the mesh multiple) so
+            # every validation batch reuses ONE compiled shape
+            b_pad = batch_size if b < batch_size else (
+                -(-b // mesh.devices.size) * mesh.devices.size
+            )
+            if b_pad != b:
+                idx = np.arange(b_pad) % b  # cyclic repeats of real rows
+                audio, noisy_np = batch.audio[idx], batch.noisy[idx]
+            else:
+                audio, noisy_np = batch.audio, batch.noisy
+            clean, noisy = shard_batch(mesh, audio, noisy_np)
             losses, aux = gan_eval_step(
                 state, clean, noisy,
                 gen_model=gen_model, disc_model=disc_model, arch=args.arch,
                 criterion=criterion, comp_type=args.comp_type,
                 gan_active=gan_active, loss_weights=loss_weights,
+                per_example=True,
             )
-            est = np.asarray(aux.est_audio)
-            q_est = (batch_pesq_raw(batch.audio[:, : est.shape[1]], est) - 1.0) / 3.5
-            d_fake = np.asarray(aux.metrics["d_fake"])
-            d_real = np.asarray(aux.metrics["d_real"])
+            est = np.asarray(aux.est_audio)[:b]
+            q_est = (batch_pesq_raw(audio[:b, : est.shape[1]], est) - 1.0) / 3.5
+            d_fake = np.asarray(aux.metrics["d_fake"])[:b]
+            d_real = np.asarray(aux.metrics["d_real"])[:b]
             # validation disc loss L_C + L_E through the configured
             # criterion (function.py:425-429; the reference computes it
             # regardless of gen-first/gan_active, and so do we)
@@ -391,7 +406,7 @@ def main(argv=None):
                 np_criterion(d_real, np.float32(1.0))
                 + np_criterion(d_fake, q_est.astype(np.float32))
             )
-            vg.update(float(losses["loss"]), b)
+            vg.update(float(np.mean(np.asarray(losses["loss"])[:b])), b)
             vd.update(disc_loss, b)
 
         if rank == 0:

@@ -64,13 +64,17 @@ class SpecCollator:
         self.crop_frames = crop_frames
         self.rng = rng or np.random.default_rng()
 
-    def collate(self, minibatch: list[dict]) -> SpecBatch:
+    def collate(self, minibatch: list[dict],
+                rng: np.random.Generator | None = None) -> SpecBatch:
+        """``rng`` (optional): per-batch generator from the DataLoader —
+        makes crops deterministic and thread-safe at any worker count."""
+        rng = rng if rng is not None else self.rng
         audios, noisys, specs = [], [], []
         for record in minibatch:
             spec = record["spectrogram"]  # [T, F]
             if len(spec) < self.crop_frames:
                 continue
-            start = int(self.rng.integers(0, len(spec) - self.crop_frames + 1))
+            start = int(rng.integers(0, len(spec) - self.crop_frames + 1))
             end = start + self.crop_frames
             specs.append(spec[start:end])
             a0, a1 = start * self.hop, end * self.hop

@@ -51,14 +51,21 @@ class VoicebankDataset:
     def __len__(self) -> int:
         return len(self.data_paths)
 
-    def __getitem__(self, idx: int) -> dict:
+    def __getitem__(self, idx: int,
+                    rng: np.random.Generator | None = None) -> dict:
+        """``rng`` (optional) makes the random crop deterministic: the
+        DataLoader passes a per-batch Generator keyed by
+        (seed, epoch, shard, batch) so the stream is reproducible at any
+        worker count.  Bare ``ds[idx]`` falls back to the global rng."""
         noisy_file = self.data_paths[idx]
         clean_file = noisy_file.replace(self.noisy_path, self.clean_path)
         clean, _ = load_wav(clean_file, self.sample_rate)
         noisy, _ = load_wav(noisy_file, self.sample_rate)
         if self.random_crop:
             L = self.crop_frames * self.samples_per_frame
-            start = np.random.randint(0, max(1, len(clean) - L))
+            hi = max(1, len(clean) - L)
+            start = (int(rng.integers(0, hi)) if rng is not None
+                     else np.random.randint(0, hi))
             clean = clean[start : start + L]
             noisy = noisy[start : start + L]
         return {"audio": clean, "noisy": noisy}
@@ -79,10 +86,11 @@ class Collator:
     """Crop/tile records to a fixed length with PESQ silence retry
     (voicebank_dataset.py:62-117)."""
 
-    # PESQ(x, x) self-anchor, lazily pinned by one engine call (class-level:
+    # PESQ(x, x) self-anchor, lazily pinned by one engine call, keyed by
+    # sample_rate (wideband vs narrowband anchors differ).  Class-level:
     # shared across collator instances and worker threads; benign race —
-    # every writer stores the same constant)
-    _pesq_self_anchor: float | None = None
+    # every writer stores the same constant for a given rate.
+    _pesq_self_anchor: dict[int, float] = {}
 
     def __init__(
         self,
@@ -100,7 +108,10 @@ class Collator:
         self.precompute_labels = precompute_labels
         self.sample_rate = sample_rate
 
-    def _recrop(self, record: dict) -> tuple[np.ndarray, np.ndarray]:
+    def _recrop(
+        self, record: dict, rng: np.random.Generator | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        rng = rng if rng is not None else self.rng
         clean, noisy = record["audio"], record["noisy"]
         length = len(clean)
         if length < self.crop_len:
@@ -109,19 +120,23 @@ class Collator:
             clean = np.concatenate([clean] * units + [clean[:rem]])
             noisy = np.concatenate([noisy] * units + [noisy[:rem]])
         else:
-            start = int(self.rng.integers(0, length - self.crop_len + 1))
+            start = int(rng.integers(0, length - self.crop_len + 1))
             clean = clean[start : start + self.crop_len]
             noisy = noisy[start : start + self.crop_len]
         return clean, noisy
 
-    def collate(self, minibatch: list[dict]) -> Batch:
+    def collate(self, minibatch: list[dict],
+                rng: np.random.Generator | None = None) -> Batch:
+        """``rng`` (optional) overrides the collator's own generator for
+        this call — the DataLoader passes a per-batch Generator so
+        concurrent workers never share (thread-unsafe) rng state."""
         from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw, pesq_loss
 
         cleans, noisys = [], []
         for record in minibatch:
             clean = noisy = None
             for _ in range(10):  # ten chances to avoid a silent crop
-                c, n = self._recrop(record)
+                c, n = self._recrop(record, rng)
                 if not self.silence_check or pesq_loss(c, n, self.sample_rate) != -1:
                     clean, noisy = c, n
                     break
@@ -150,14 +165,15 @@ class Collator:
                 # constant and the whole q_clean batch pass is skipped
                 # (halves the label cost; labels are the loader's
                 # bottleneck, docs/LOADER_BENCH.md)
-                if Collator._pesq_self_anchor is None:
-                    Collator._pesq_self_anchor = float(
+                anchor = Collator._pesq_self_anchor.get(self.sample_rate)
+                if anchor is None:
+                    anchor = float(
                         batch_pesq_raw(audio[:1], audio[:1],
                                        self.sample_rate)[0]
                     )
+                    Collator._pesq_self_anchor[self.sample_rate] = anchor
                 pesq_clean = np.full(
-                    len(cleans), (Collator._pesq_self_anchor - 1.0) / 3.5,
-                    np.float32,
+                    len(cleans), (anchor - 1.0) / 3.5, np.float32,
                 )
             else:
                 pesq_clean = (
@@ -216,6 +232,16 @@ class DataLoader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _batch_rng(self, batch_index: int) -> np.random.Generator:
+        """Deterministic per-batch generator: keyed by
+        (seed, epoch, shard, batch) so the emitted stream is identical for
+        any num_workers and any thread schedule."""
+        return np.random.default_rng(
+            np.random.SeedSequence(
+                (self.seed, self.epoch, self.shard_id, batch_index)
+            )
+        )
+
     def __iter__(self) -> Iterator[Batch]:
         idx = self._indices()
         n_batches = len(self)
@@ -225,14 +251,33 @@ class DataLoader:
         ]
         out_q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
+        # capability probes (once, not per batch): does the dataset /
+        # collator accept the per-batch rng?
+        import inspect
+
+        ds_takes_rng = "rng" in inspect.signature(
+            self.dataset.__getitem__
+        ).parameters
+        co_takes_rng = "rng" in inspect.signature(
+            self.collator.collate
+        ).parameters
 
         def worker(batch_ids: list[int]):
             for b in batch_ids:
                 if stop.is_set():
                     return
                 try:
-                    records = [self.dataset[int(i)] for i in batches[b]]
-                    out_q.put((b, self.collator.collate(records)))
+                    rng = self._batch_rng(b)
+                    records = [
+                        self.dataset.__getitem__(int(i), rng)
+                        if ds_takes_rng else self.dataset[int(i)]
+                        for i in batches[b]
+                    ]
+                    out_q.put((
+                        b,
+                        self.collator.collate(records, rng)
+                        if co_takes_rng else self.collator.collate(records),
+                    ))
                 except Exception as exc:  # surface worker failures
                     out_q.put((b, exc))
                     return

@@ -48,13 +48,24 @@ def _load_library() -> ctypes.CDLL:
                         check=True,
                         capture_output=True,
                     )
-                except (OSError, subprocess.CalledProcessError):
+                except (OSError, subprocess.CalledProcessError) as exc:
                     # a checkout can land pesq.cc with a newer mtime than
                     # the committed .so; if no toolchain is available,
                     # keep using the existing library rather than failing
-                    # every PESQ call
+                    # every PESQ call — but say so: a genuine compile
+                    # error must not silently serve scores from stale code
                     if missing:
                         raise
+                    import warnings
+
+                    stderr = getattr(exc, "stderr", b"") or b""
+                    warnings.warn(
+                        "rebuild of native/pesq/libpesq.so failed; using the "
+                        "EXISTING (stale vs pesq.cc) library.  make stderr:\n"
+                        + stderr.decode(errors="replace"),
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         lib = ctypes.CDLL(lib_path)
         lib.pesq_mos.restype = ctypes.c_double
         lib.pesq_mos.argtypes = [

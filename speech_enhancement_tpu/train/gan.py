@@ -98,6 +98,7 @@ def _generator_losses(
     hop: int,
     train: bool,
     compute_dtype=None,
+    per_example: bool = False,
 ):
     """Shared generator loss computation (function.py:218-258 /
     :362-401).  Returns (losses dict, aux arrays, new batch_stats).
@@ -105,7 +106,21 @@ def _generator_losses(
     ``compute_dtype=jnp.bfloat16``: run the generator forward (and, under
     grad, its backward) in bf16 — the TPU analogue of AMP autocast.  The
     DSP featurization and every loss stay fp32; params in ``variables``
-    should already be cast by the caller (master copies stay fp32)."""
+    should already be cast by the caller (master copies stay fp32).
+
+    ``per_example=True`` returns each loss as a [B] vector (row-mean via
+    ``jax.vmap(criterion)``) instead of a scalar — used by validation to
+    mask pad rows exactly when a ragged tail batch is padded to the mesh
+    multiple.  Rows are independent in eval mode (running-stat BatchNorm),
+    so masked means over real rows equal the unpadded scalars."""
+    if per_example:
+        # vmap over the leading (batch) axis turns any scalar criterion
+        # into a per-row one; same for plain means
+        criterion = jax.vmap(criterion)
+        mean = lambda x: jnp.mean(  # noqa: E731
+            x.reshape(x.shape[0], -1), axis=1)
+    else:
+        mean = jnp.mean
     clean, noisy, _ = normalize_batch(clean, noisy)
     noisy_spec = compressed_stft(noisy, n_fft, hop, comp_type="pow")
     clean_spec = compressed_stft(clean, n_fft, hop, comp_type="pow")
@@ -157,13 +172,13 @@ def _generator_losses(
             clean_prime_audio, n_fft, hop, comp_type=comp_type
         )
         loss_mag = criterion(jnp.abs(est_prime), jnp.abs(clean_prime))
-        time_loss = jnp.mean(jnp.abs(est_audio - clean_prime_audio))
+        time_loss = mean(jnp.abs(est_audio - clean_prime_audio))
         loss_ri = criterion(jnp.real(est_prime), jnp.real(clean_prime)) + criterion(
             jnp.imag(est_prime), jnp.imag(clean_prime)
         )
     else:
         loss_mag = criterion(est_mag, clean_mag)
-        time_loss = jnp.mean(jnp.abs(est_audio - clean))
+        time_loss = mean(jnp.abs(est_audio - clean))
         loss_ri = criterion(est_real, jnp.real(clean_spec)) + criterion(
             est_imag, jnp.imag(clean_spec)
         )
@@ -218,7 +233,13 @@ def gan_generator_step(
             cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
                 lambda x: x.astype(compute_dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-            params, extra = cast(params), cast(extra)
+            # params are cast; batch_stats stay fp32 so the momentum-0.9
+            # running-stat update accumulates in true fp32 (casting them to
+            # bf16 loses small relative increments entirely — AMP practice
+            # is fp32 statistics)
+            params = cast(params)
+            extra = {k: (v if k == "batch_stats" else cast(v))
+                     for k, v in extra.items()}
         variables = {"params": params, **extra}
         losses, aux, new_stats = _generator_losses(
             gen_model, variables, clean, noisy, rng_drop,
@@ -469,7 +490,7 @@ def make_fused_gan_train_step(
     jax.jit,
     static_argnames=(
         "gen_model", "disc_model", "arch", "criterion", "comp_type",
-        "n_fft", "hop", "gan_active", "loss_weights",
+        "n_fft", "hop", "gan_active", "loss_weights", "per_example",
     ),
 )
 def gan_eval_step(
@@ -486,20 +507,29 @@ def gan_eval_step(
     hop: int = 100,
     gan_active: bool = True,
     loss_weights: tuple = (0.1, 0.9, 0.2, 0.05),
+    per_example: bool = False,
 ):
     """validate_gan equivalent (function.py:346-451) minus the PESQ-label
     disc loss term (computed by the host wrapper): returns
-    (gen metrics dict, GenAux)."""
+    (gen metrics dict, GenAux).
+
+    ``per_example=True``: every loss comes back as a [B] vector so the
+    caller can mask pad rows of a ragged (padded-to-mesh-multiple) tail
+    batch exactly — the reference validates every utterance
+    (main_gan.py:287-298) and so must we."""
     losses, aux, _ = _generator_losses(
         gen_model, state.gen.variables(), clean, noisy, jax.random.PRNGKey(0),
         arch=arch, criterion=criterion, comp_type=comp_type,
-        n_fft=n_fft, hop=hop, train=False,
+        n_fft=n_fft, hop=hop, train=False, per_example=per_example,
     )
     d_fake = disc_model.apply(
         state.disc.variables(), aux["clean_mag"], aux["est_mag"],
         deterministic=True,
     ).reshape(-1)
-    gan_loss = criterion(d_fake, jnp.ones_like(d_fake))
+    if per_example:
+        gan_loss = jax.vmap(criterion)(d_fake, jnp.ones_like(d_fake))
+    else:
+        gan_loss = criterion(d_fake, jnp.ones_like(d_fake))
     w = loss_weights
     total = (
         w[0] * losses["loss_ri"]

@@ -20,6 +20,20 @@ import time
 import jax
 
 
+@jax.jit
+def _fence_scalar(leaves):
+    """Fold one element of every leaf into a single scalar — ONE compiled
+    dispatch + ONE host read fences an arbitrarily large pytree (a
+    per-leaf eager chain would be hundreds of ~30 ms tunneled dispatches
+    on axon, distorting the very timings StepTimer measures)."""
+    import jax.numpy as jnp
+
+    acc = jnp.zeros((), jnp.float32)
+    for leaf in leaves:
+        acc = acc + jnp.abs(jnp.ravel(leaf)[0]).astype(jnp.float32)
+    return acc
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a profiler trace for the enclosed steps."""
@@ -44,19 +58,18 @@ class StepTimer:
             # (returns before execution finishes); the true barrier is ONE
             # device->host read that data-depends on EVERY leaf — leaves
             # may come from separate dispatches, so fencing just the first
-            # would undercount
+            # would undercount.  The fold happens inside ONE jitted
+            # dispatch (complex leaves are fine there: jnp.abs makes them
+            # real before the host read, which axon can't do for complex).
             import jax.numpy as jnp
 
-            leaves = [
+            leaves = tuple(
                 leaf for leaf in jax.tree_util.tree_leaves(outputs)
                 if hasattr(leaf, "ravel") and getattr(leaf, "size", 0)
                 and jnp.issubdtype(getattr(leaf, "dtype", None), jnp.number)
-                # complex device->host transfers are unimplemented on axon
-                and not jnp.issubdtype(leaf.dtype, jnp.complexfloating)
-            ]
+            )
             if leaves:
-                float(sum(jnp.abs(jnp.ravel(leaf)[0]).astype(jnp.float32)
-                          for leaf in leaves))
+                float(_fence_scalar(leaves))
             else:
                 jax.block_until_ready(outputs)
         now = time.perf_counter()

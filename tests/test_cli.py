@@ -20,7 +20,9 @@ def tiny_dataset(tmp_path_factory):
     dirs = {}
     rng = np.random.default_rng(0)
     t = np.arange(20000) / 16000
-    for split, n in [("train", 4), ("test", 2)]:
+    # test split is deliberately NOT a batch multiple (batch 2, 3 utts):
+    # the ragged validation tail must be padded+masked, never dropped
+    for split, n in [("train", 4), ("test", 3)]:
         cdir = root / f"clean_{split}"
         ndir = root / f"noisy_{split}"
         cdir.mkdir()
