@@ -195,3 +195,49 @@ def test_against_itu_fixture():
     deltas = np.asarray(deltas)
     assert deltas.mean() <= 0.05, f"mean |ΔMOS| {deltas.mean():.3f}"
     assert deltas.max() <= 0.25, f"max |ΔMOS| {deltas.max():.3f}"
+
+
+def test_engine_conformance_fixture():
+    """The committed MNRU/level/delay conformance artifact
+    (tests/fixtures/pesq_engine_conformance.json, generated by
+    scripts/make_pesq_validation_set.py --conformance) pins the engine:
+
+    * regression — a re-scored subset must reproduce the committed MOS
+      values exactly (the engine is deterministic C++);
+    * behavior — the properties ITU P.862 is specified to have hold:
+      MOS strictly monotone in MNRU Q per seed, level-offset invariance
+      (|ΔMOS| ≤ 0.02 at ±10 dB), delay invariance (|ΔMOS| ≤ 0.05 up to
+      32 ms).  Absolute deviation vs ITU stays unquantified offline; the
+      same sweep with --score produces the ITU side one-command when the
+      `pesq` package is available (docs/pesq_validation.md)."""
+    import json
+    import os
+    import sys
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "pesq_engine_conformance.json")
+    assert os.path.exists(fixture), (
+        "run scripts/make_pesq_validation_set.py --conformance"
+    )
+    with open(fixture) as f:
+        data = json.load(f)
+
+    # behavioral bounds over the full committed sweep
+    assert data["summary"]["monotone_violations"] == 0
+    assert data["summary"]["max_abs_level_delta_mos"] <= 0.02
+    assert data["summary"]["max_abs_delay_delta_mos"] <= 0.05
+    qs = sorted(int(q) for q in data["mnru_mean_curve"])
+    curve = [data["mnru_mean_curve"][str(q)] for q in qs]
+    assert all(a < b for a, b in zip(curve, curve[1:]))
+    assert curve[0] < 2.2 and curve[-1] > 4.3  # spans the MOS range
+
+    # regression: re-score a subset and match the committed values
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from scripts.make_pesq_validation_set import _mnru, _speech_like
+
+    for rec in [r for r in data["mnru"] if r["seed"] == data["mnru"][0]["seed"]][::3]:
+        clean = _speech_like(np.random.default_rng(rec["seed"]))
+        deg = _mnru(np.random.default_rng(rec["seed"] * 100 + rec["q_db"]),
+                    clean, rec["q_db"])
+        np.testing.assert_allclose(pesq(FS, clean, deg), rec["mos"],
+                                   atol=2e-6)
