@@ -104,6 +104,12 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--report", default="docs/quality_proxy_run.md")
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--arch", default="scp",
+                    choices=["scp", "cp", "sc", "cmgan"],
+                    help="arch arm for the A/B on the quality proxy "
+                         "(reference core/function.py:231-254, 292-305); "
+                         "per-epoch metrics also land in <root>/ab_<arch>."
+                         "json for scripts-side comparison tables")
     args = ap.parse_args()
 
     rng = np.random.default_rng(7)
@@ -126,9 +132,9 @@ def main() -> int:
         "DATA.BATCH_SIZE", str(args.batch_size),
     ]
 
-    print("training SCP-GAN (full-size) ...", flush=True)
+    print(f"training {args.arch}-GAN (full-size) ...", flush=True)
     main_gan.main([
-        "-a", "scp", "--cfg", cfg, "--output", out,
+        "-a", args.arch, "--cfg", cfg, "--output", out,
         "--epochs", str(args.epochs), "--optimizer", "adamw",
         "--lr", "5e-4", "--criterion", "mse", "--gen-first",
         "--seed", "3", "-j", "4", "-p", "20",
@@ -150,7 +156,7 @@ def main() -> int:
         "--output", os.path.join(args.root, "enhanced"),
         "--model_path", "unused", "--cfg", cfg, "--batch-size", "24",
     ] + opts)
-    ckpt_dir = os.path.join(out, "scp", "default")
+    ckpt_dir = os.path.join(out, args.arch, "default")
     rows = []
     for epoch in range(args.epochs):
         mp = os.path.join(ckpt_dir, f"checkpoint_{epoch:04d}")
@@ -191,6 +197,19 @@ def main() -> int:
     with open(args.report, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[-2:]))
+
+    # machine-readable per-arch record for the A/B comparison table
+    import json as _json
+
+    with open(os.path.join(args.root, f"ab_{args.arch}.json"), "w") as f:
+        _json.dump({
+            "arch": args.arch, "precision": args.precision,
+            "epochs": args.epochs, "seed": 3,
+            "noisy": [float(v) for v in base],
+            "per_epoch": {
+                str(e): [float(v) for v in m] for e, m in rows
+            },
+        }, f, indent=1)
 
     ok = best[1][0] > base[0] and best[1][5] >= base[5]
     print("RESULT:", "PASS" if ok else "FAIL")

@@ -158,8 +158,10 @@ class Enhancer:
                 raw = jax.jit(inner)
             else:
                 raw = jax.jit(step)
-            variables = self.variables
-            fn = lambda x: raw(variables, x)  # noqa: E731
+            # read self.variables at CALL time, not closure-capture time:
+            # swapping checkpoints on a live Enhancer must not serve the
+            # stale weights the first compile saw
+            fn = lambda x: raw(self.variables, x)  # noqa: E731
             self._compiled[length] = fn
         return fn
 

@@ -276,6 +276,256 @@ def _kernel_call(
     return out[:b].reshape(b, n, h, d)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, drel_ref, *, rows, n, h, d,
+                     scale, grid_i):
+    """Fused backward: recomputes the attention for the resident tile
+    (logits never touched HBM in the forward — flash-style recompute) and
+    emits all four gradients with the forward's layout rules.
+
+    q/g/dq_ref: [rows, n_i, h*d]; k/v/dk/dv_ref: [rows, n, h*d];
+    rel_ref: [n_i, d, n]; drel_ref: [n_i, d, n] fp32 — the per-(i, j)
+    rel-position gradient summed over batch rows and heads; the caller
+    scatter-adds it into the [2*max_pos+1, d] table (tiny XLA segment
+    sum).  Math per head (P = softmax row, G = dL/dout):
+      dV = Pᵀ G;   dP = G Vᵀ;   dS = P ∘ (dP - rowsum(P ∘ dP)) · scale
+      dQ = dS K + Σ_j dS[i, j] · rel[i, :, j];   dK = dSᵀ Q
+      drel[i, :, j] = Σ_rows Q[r, i, :] · dS[r, i, j]
+    ``grid_i=True``: grid is (batch, query-blocks) with full k/v rows —
+    dk/dv accumulate across query blocks, drel across batch blocks."""
+    bb = pl.program_id(0)
+    ii = pl.program_id(1) if grid_i else None
+
+    # recompute the all-head bias exactly as the forward does
+    parts = [
+        jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
+        for hh in range(h)
+    ]  # each [n_i, rows, d]
+    qT = jnp.concatenate(parts, axis=1)  # [n_i, h*rows, d]
+    biasT = jax.lax.dot_general(
+        qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [n_i, h*rows, n]
+
+    dqs, dks, dvs = [], [], []
+    drel_total = None
+    dtype = q_ref.dtype
+    for hh in range(h):
+        sl = slice(hh * d, (hh + 1) * d)
+        q_h = q_ref[:, :, sl]          # [rows, n_i, d]
+        k_h = k_ref[:, :, sl]          # [rows, n, d]
+        v_h = v_ref[:, :, sl]
+        g_h = g_ref[:, :, sl]          # [rows, n_i, d]
+        dots = jax.lax.dot_general(
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [rows, n_i, n]
+        bias = jnp.transpose(biasT[:, hh * rows:(hh + 1) * rows, :],
+                             (1, 0, 2))
+        logits = (dots + bias) * scale
+        m = jnp.max(logits, axis=2, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=2, keepdims=True)
+        attn = e / s                   # fp32 [rows, n_i, n]
+        dattn = jax.lax.dot_general(
+            g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [rows, n_i, n]
+        ds = attn * (dattn - jnp.sum(attn * dattn, axis=2, keepdims=True))
+        dp = (ds * scale).astype(dtype)      # operand-dtype for the MXU
+        attn_c = attn.astype(dtype)
+        dvs.append(jax.lax.dot_general(
+            attn_c, g_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # [rows, n, d]
+        dks.append(jax.lax.dot_general(
+            dp, q_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # [rows, n, d]
+        dq_h = jax.lax.dot_general(
+            dp, k_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [rows, n_i, d]
+        dpT = jnp.transpose(dp, (1, 0, 2))   # [n_i, rows, n]
+        dq2T = jax.lax.dot_general(
+            dpT, rel_ref[...], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [n_i, rows, d]
+        dqs.append(dq_h + jnp.transpose(dq2T, (1, 0, 2)))
+        q_hT = jnp.transpose(q_h, (1, 2, 0))  # [n_i, d, rows]
+        drel_h = jax.lax.dot_general(
+            q_hT, dpT, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [n_i, d, n]
+        drel_total = drel_h if drel_total is None else drel_total + drel_h
+
+    dq_ref[...] = jnp.concatenate(dqs, axis=2).astype(dq_ref.dtype)
+    dk = jnp.concatenate(dks, axis=2).astype(jnp.float32)
+    dv = jnp.concatenate(dvs, axis=2).astype(jnp.float32)
+    if grid_i:
+        # dk/dv blocks are revisited for every query block of a batch
+        # tile (index map ignores ii): init at ii==0, then accumulate
+        @pl.when(ii == 0)
+        def _():
+            dk_ref[...] = dk.astype(dk_ref.dtype)
+            dv_ref[...] = dv.astype(dv_ref.dtype)
+
+        @pl.when(ii != 0)
+        def _():
+            dk_ref[...] += dk.astype(dk_ref.dtype)
+            dv_ref[...] += dv.astype(dv_ref.dtype)
+    else:
+        dk_ref[...] = dk.astype(dk_ref.dtype)
+        dv_ref[...] = dv.astype(dv_ref.dtype)
+
+    # drel blocks are revisited for every batch tile (index map ignores
+    # bb): init on the first batch tile, accumulate after
+    @pl.when(bb == 0)
+    def _():
+        drel_ref[...] = drel_total
+
+    @pl.when(bb != 0)
+    def _():
+        drel_ref[...] += drel_total
+
+
+def _auto_batch_tile_bwd(n: int, heads: int,
+                         vmem_budget: int = 80 << 20) -> int:
+    """Backward batch tile: ~6 live fp32 [n, n] arrays per head
+    (logits/attn/dattn/ds + operand-dtype copies) plus the all-head
+    biasT."""
+    npad = _round_up(n, 128)
+    per_instance = 6 * heads * n * npad * 4
+    r = max(1, vmem_budget // per_instance)
+    return 1 << (int(r).bit_length() - 1)
+
+
+def _min_vmem_bytes_bwd(n: int, h: int, d: int, itemsize: int) -> int:
+    """Tile-1 working-set lower bound of the whole-instance backward:
+    forward's set plus dattn/ds live arrays, the drel output, and the
+    extra operand blocks (g plus three gradients)."""
+    return (
+        2 * n * d * n * 4             # rel + drel (fp32 out)
+        + n * h * n * 4               # biasT
+        + 6 * n * n * 4               # logits/attn/dattn/ds live set
+        + 16 * n * h * d * itemsize   # double-buffered q/k/v/g/dq/dk/dv/out
+    )
+
+
+def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
+    """Backward pallas_call: returns (dq, dk, dv, drel_table) with the
+    cotangent dtypes matching the primals."""
+    b, n, h, d = q.shape
+    dtype = q.dtype
+    idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
+                  -max_pos_emb, max_pos_emb) + max_pos_emb
+    rel = rel_table[jnp.asarray(idx)].astype(dtype)     # [i, j, d]
+    rel = jnp.transpose(rel, (0, 2, 1))                 # [i, d, j]
+
+    qf, kf, vf, gf = (x.reshape(b, n, h * d) for x in (q, k, v, g))
+    grid_i = _min_vmem_bytes_bwd(n, h, d, dtype.itemsize) > _VMEM_FALLBACK_BYTES
+
+    if grid_i:
+        i_tile = _I_TILE
+        if batch_tile is None:
+            batch_tile = max(
+                1,
+                _auto_batch_tile_itiled(n, h, d, dtype.itemsize, i_tile,
+                                        vmem_budget=40 << 20),
+            )
+        ni_pad = _round_up(n, i_tile)
+        qf = jnp.pad(qf, ((0, 0), (0, ni_pad - n), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, ni_pad - n), (0, 0)))
+        rel_p = jnp.pad(rel, ((0, ni_pad - n), (0, 0), (0, 0)))
+        b_pad = _round_up(b, batch_tile)
+        if b_pad != b:
+            pad = ((0, b_pad - b), (0, 0), (0, 0))
+            qf, kf, vf, gf = (jnp.pad(x, pad) for x in (qf, kf, vf, gf))
+        kernel = functools.partial(
+            _attn_bwd_kernel, rows=batch_tile, n=n, h=h, d=d, scale=scale,
+            grid_i=True,
+        )
+        dq, dk, dv, drel = pl.pallas_call(
+            kernel,
+            grid=(b_pad // batch_tile, ni_pad // i_tile),
+            in_specs=[
+                pl.BlockSpec((batch_tile, i_tile, h * d),
+                             index_map=lambda bb, ii: (bb, ii, 0)),
+                pl.BlockSpec((batch_tile, n, h * d),
+                             index_map=lambda bb, ii: (bb, 0, 0)),
+                pl.BlockSpec((batch_tile, n, h * d),
+                             index_map=lambda bb, ii: (bb, 0, 0)),
+                pl.BlockSpec((i_tile, d, n),
+                             index_map=lambda bb, ii: (ii, 0, 0)),
+                pl.BlockSpec((batch_tile, i_tile, h * d),
+                             index_map=lambda bb, ii: (bb, ii, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((batch_tile, i_tile, h * d),
+                             index_map=lambda bb, ii: (bb, ii, 0)),
+                pl.BlockSpec((batch_tile, n, h * d),
+                             index_map=lambda bb, ii: (bb, 0, 0)),
+                pl.BlockSpec((batch_tile, n, h * d),
+                             index_map=lambda bb, ii: (bb, 0, 0)),
+                pl.BlockSpec((i_tile, d, n),
+                             index_map=lambda bb, ii: (ii, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, ni_pad, h * d), dtype),
+                jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
+                jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
+                jax.ShapeDtypeStruct((ni_pad, d, n), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(qf, kf, vf, rel_p, gf)
+        drel = drel[:n]
+    else:
+        if batch_tile is None:
+            batch_tile = _auto_batch_tile_bwd(n, h)
+        b_pad = _round_up(b, batch_tile)
+        if b_pad != b:
+            pad = ((0, b_pad - b), (0, 0), (0, 0))
+            qf, kf, vf, gf = (jnp.pad(x, pad) for x in (qf, kf, vf, gf))
+        kernel = functools.partial(
+            _attn_bwd_kernel, rows=batch_tile, n=n, h=h, d=d, scale=scale,
+            grid_i=False,
+        )
+        spec = pl.BlockSpec((batch_tile, n, h * d),
+                            index_map=lambda i: (i, 0, 0))
+        rel_spec = pl.BlockSpec((n, d, n), index_map=lambda i: (0, 0, 0))
+        dq, dk, dv, drel = pl.pallas_call(
+            kernel,
+            grid=(b_pad // batch_tile,),
+            in_specs=[spec, spec, spec, rel_spec, spec],
+            out_specs=[spec, spec, spec, rel_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
+                jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
+                jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
+                jax.ShapeDtypeStruct((n, d, n), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(qf, kf, vf, rel, gf)
+
+    dq = dq[:b, :n].reshape(b, n, h, d)
+    dk = dk[:b].reshape(b, n, h, d)
+    dv = dv[:b].reshape(b, n, h, d)
+    # scatter the [i, d, j] rel gradient into the shared table rows:
+    # dtable[r] = sum over (i, j) with clip(i - j) + max_pos == r
+    seg = jnp.asarray(idx.reshape(-1))
+    flat = jnp.transpose(drel, (0, 2, 1)).reshape(n * n, d)  # [(i, j), d]
+    dtable = jax.ops.segment_sum(
+        flat, seg, num_segments=rel_table.shape[0]
+    ).astype(rel_table.dtype)
+    return dq, dk, dv, dtable
+
+
 def _xla_attention(q, k, v, rel_table, max_pos_emb, scale):
     """XLA einsum reference with the kernel's exact semantics (fp32
     logits/softmax, operand-dtype value contraction).  Used as the
@@ -309,17 +559,19 @@ def _fused_fwd(q, k, v, rel_table, max_pos_emb, scale, batch_tile):
 
 def _fused_bwd(max_pos_emb, scale, batch_tile, residuals, g):
     q, k, v, rel_table = residuals
-    # recompute-through-XLA backward: the forward kernel keeps no
-    # intermediates (that's the point — logits never touch HBM), so the
-    # backward re-derives them with the einsum formulation and lets XLA
-    # differentiate.  Costs one extra XLA forward; still cheaper than
-    # running the slow XLA path forward AND backward.
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, t_: _xla_attention(q_, k_, v_, t_, max_pos_emb,
-                                              scale),
-        q, k, v, rel_table,
-    )
-    return vjp(g)
+    # fused Pallas backward (flash-style): recompute the attention for
+    # the resident tile in VMEM and emit dq/dk/dv + the rel-table grad —
+    # the [b, h, n, n] logits never materialize in HBM in either
+    # direction, so long-crop gradients are bounded-VMEM too (the
+    # i-tiled grid kicks in exactly like the forward).  Replaced the
+    # round-3 recompute-through-XLA vjp, which made bf16+fused training
+    # SLOWER than unfused (472.5 vs 410.5 ms/step) and would have
+    # materialized the XLA logits for long n.
+    # the forward's batch_tile (if explicitly set) is sized for the
+    # forward's ~3-arrays-per-head working set; the backward keeps ~6 —
+    # always auto-size the backward tile
+    return _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale,
+                            None)
 
 
 _fused_diff.defvjp(_fused_fwd, _fused_bwd)
@@ -341,13 +593,12 @@ def fused_shaw_attention(
     ``rel_table``: [2*max_pos_emb + 1, d].
     Returns [B, n, heads, d] in the dtype of ``q``.
 
-    Differentiable: the forward runs the Pallas kernel; the backward
-    recomputes the attention with XLA einsums (custom_vjp), so the fused
-    path is usable in training, not just serving.  NOTE the backward is
-    the XLA formulation, which materializes [b, h, n, n] logits — fine at
-    the training crop lengths (n~161 for 1 s crops), but long-n
-    GRADIENTS would hit the same memory blowup as XLA forward serving;
-    an i-tiled backward is future work if long-crop training is needed.
+    Differentiable both directions in Pallas: the backward is a fused
+    flash-style kernel (:func:`_attn_bwd_kernel`) that recomputes the
+    attention for the resident tile in VMEM and emits dq/dk/dv plus the
+    rel-table gradient — the [b, h, n, n] logits never touch HBM in
+    either direction, and long-n gradients route to the backward's own
+    i-tiled grid (bounded VMEM at any crop length).
 
     Very long sequences (n beyond ~1150 at the default head config, e.g.
     utterances over ~7 s) exceed the whole-instance scoped-VMEM budget in

@@ -98,7 +98,7 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
         "--cfg", cfg, "-m", str(ckpt), "-o", str(enh_out), "--save",
     ])
     saved = list((enh_out).rglob("*.wav"))
-    assert len(saved) == 2
+    assert len(saved) == 3
 
     # --validate-epochs without --start/--end sweeps the checkpoints
     # actually present (here: just checkpoint_0000)

@@ -69,8 +69,9 @@ def test_fused_small_batch_tiles_match_reference(rng, n, h, d, tile):
 
 
 def test_fused_attention_gradients_match_xla(rng):
-    """The custom_vjp backward (XLA recompute) must match differentiating
-    the plain einsum path — the fused kernel is trainable."""
+    """The fused Pallas backward kernel must match differentiating the
+    plain einsum path — dq, dk, dv AND the scatter-added rel-table
+    gradient — so the fused kernel is trainable in both directions."""
     b, n, h, d = 2, 17, 2, 8
     q = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
@@ -140,11 +141,21 @@ def test_long_sequence_itiled_grid(rng):
     want = _xla_attention(q, k, v, table, 512, d**-0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
-    # differentiable (custom_vjp backward)
-    g = jax.grad(
-        lambda q_: jnp.sum(fused_shaw_attention(q_, k, v, table) ** 2)
-    )(q)
-    assert np.all(np.isfinite(np.asarray(g)))
+    # differentiable: the fused Pallas backward routes to its own i-tiled
+    # grid at this length (bounded VMEM — no [b, h, n, n] logits in HBM)
+    # and must match the XLA-differentiated gradients, including the
+    # accumulated dk/dv and the scatter-added table gradient
+    def loss_fused(q_, k_, v_, t_):
+        return jnp.sum(fused_shaw_attention(q_, k_, v_, t_) ** 2)
+
+    def loss_ref(q_, k_, v_, t_):
+        return jnp.sum(_xla_attention(q_, k_, v_, t_, 512, d**-0.5) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, table)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_fused_attention_module_equivalence(rng):
