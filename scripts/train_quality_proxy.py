@@ -104,6 +104,11 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--report", default="docs/quality_proxy_run.md")
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--fused-attention", action="store_true",
+                    help="train with the fused Pallas attention "
+                         "(forward + flash-style backward) — the round-4 "
+                         "recommended TPU training config together with "
+                         "--precision bf16")
     ap.add_argument("--arch", default="scp",
                     choices=["scp", "cp", "sc", "cmgan"],
                     help="arch arm for the A/B on the quality proxy "
@@ -139,7 +144,7 @@ def main() -> int:
         "--lr", "5e-4", "--criterion", "mse", "--gen-first",
         "--seed", "3", "-j", "4", "-p", "20",
         "--precision", args.precision,
-    ] + opts)
+    ] + (["--fused-attention"] if args.fused_attention else []) + opts)
 
     # noisy baseline on the test set
     import glob as _glob
@@ -170,7 +175,8 @@ def main() -> int:
     lines = [
         "# Training-to-quality proxy run (synthetic corpus)",
         "",
-        "Full-size SCP-GAN trained from scratch with `cli.main_gan` on a",
+        f"Full-size {args.arch.upper()}-GAN trained from scratch with "
+        "`cli.main_gan` on a",
         f"synthetic speech-like corpus ({args.train_pairs} train pairs, "
         f"{args.seconds:.0f}s, 0-10 dB SNR pink noise), evaluated with the",
         "`cli.inference_gan` checkpoint sweep on held-out pairs",
@@ -204,6 +210,7 @@ def main() -> int:
     with open(os.path.join(args.root, f"ab_{args.arch}.json"), "w") as f:
         _json.dump({
             "arch": args.arch, "precision": args.precision,
+            "fused_attention": bool(args.fused_attention),
             "epochs": args.epochs, "seed": 3,
             "noisy": [float(v) for v in base],
             "per_epoch": {

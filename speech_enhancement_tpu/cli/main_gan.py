@@ -104,7 +104,8 @@ def parse_option(argv=None):
     parser.add_argument(
         "--fused-attention", action="store_true",
         help="Pallas fused time-axis attention in the generator "
-             "(custom_vjp backward recomputes via XLA)",
+             "(fused flash-style Pallas backward; logits never touch HBM "
+             "in either direction, any crop length trains)",
     )
     parser.add_argument("--debug", action="store_true",
                         help="enable jax_debug_nans")
