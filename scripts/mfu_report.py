@@ -82,7 +82,16 @@ def serving_report(steps: int):
 
     step = jax.jit(lambda v, x: enh._step(v, x))
     x0 = jnp.zeros((batch, length), jnp.float32)
-    flops = _flops(step, enh.variables, x0)
+    # FLOPs from the NON-fused compile of the identical math: the cost
+    # model cannot see through the Pallas custom call (it credits the
+    # fused step 2.69e12 vs 2.83e12 fully counted — less than the 5.1e11
+    # of attention math the kernel executes), so count every op via the
+    # XLA-attention twin and time the fused path (docs/MFU.md).
+    ref_model = TSCNet(num_channel=64, num_features=201,
+                       fused_attention=False)
+    ref_enh = Enhancer(ref_model, variables, compute_dtype=jnp.bfloat16)
+    ref_step = jax.jit(lambda v, x: ref_enh._step(v, x))
+    flops = _flops(ref_step, enh.variables, x0)
 
     rng = np.random.default_rng(0)
     t = np.arange(length) / SR
