@@ -117,6 +117,10 @@ def main() -> None:
                             extra={k: v for k, v in variables.items()
                                    if k != "params"},
                             opt_state=tx.init(variables["params"]), step=0)
+        # criterion must be ONE stable callable: it is a static argname of
+        # the jitted diffuse_step, so a fresh lambda per call would force a
+        # full retrace every step (measured 18.5 s/"step" round 4)
+        l2 = lambda a, b: jnp.mean((a - b) ** 2)  # noqa: E731
         for tag, cd in (("fp32", None), ("bf16", jnp.bfloat16)):
             i = [0]
 
@@ -125,8 +129,7 @@ def main() -> None:
                 c, n = _speechish(rng, batch, length, i[0])
                 s, loss = diffuse_step(
                     state, c, n, schedule, jax.random.PRNGKey(i[0]),
-                    model=model, criterion=lambda a, b: jnp.mean((a - b) ** 2),
-                    tx=tx, compute_dtype=cd,
+                    model=model, criterion=l2, tx=tx, compute_dtype=cd,
                 )
                 return loss
 

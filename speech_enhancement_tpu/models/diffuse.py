@@ -178,8 +178,20 @@ class DiffuSE(nn.Module):
         cond = cond[:, : x.shape[1], :]
 
         skip_sum = jnp.zeros_like(x)
+        # remat each block: without it the train-step backward keeps every
+        # block's gated [B, L, 2c] activations alive — 16.26 GB HBM at
+        # batch 16 x 1 s (> the v5e's 15.75 GB, measured round 4); with
+        # per-block remat only the inter-block carries are stored, same
+        # policy as the generator's scanned TSCB stack.  The blocks can't
+        # be nn.scan-stacked because the dilation (2^(i % cycle)) is a
+        # static conv config that differs per block — and because the loop
+        # is UNROLLED, prevent_cse must stay True (the default): with
+        # prevent_cse=False XLA CSEs the backward's recompute against the
+        # forward's stored activations and the peak stays at 16.26 GB
+        # (measured round 4) as if there were no remat at all.
+        block = nn.remat(ResidualBlock)
         for i in range(self.residual_layers):
-            x, skip = ResidualBlock(
+            x, skip = block(
                 self.residual_channels,
                 2 ** (i % self.dilation_cycle_length),
                 self.use_groupnorm,

@@ -152,10 +152,15 @@ def inference_schedule(
 
 
 def diffuse_train_loss(model, variables, batch_clean, batch_noisy,
-                       noise_schedule, rng, n_fft=400, hop=100):
+                       noise_schedule, rng, n_fft=400, hop=100,
+                       compute_dtype=None):
     """Waveform DiffuSE training loss (function.py:45-103): uncompressed
     STFT magnitude-free conditioner of the noisy signal, model predicts the
-    combined noise, criterion applied by caller via returned pair."""
+    combined noise, criterion applied by caller via returned pair.
+
+    The STFT and the forward-noising run in fp32 regardless of
+    ``compute_dtype`` (complex bf16 does not exist, and autocast-style AMP
+    keeps FFTs in fp32 too); only the model inputs are cast."""
     # drop the trailing center-pad frame so the upsampled conditioner spans
     # exactly L = hop * n_frames samples (the reference's integrated waveform
     # path feeds 161 frames against 16000 samples, which only lines up for
@@ -164,6 +169,9 @@ def diffuse_train_loss(model, variables, batch_clean, batch_noisy,
     noisy_audio, combine_noise, t = add_noise(
         batch_clean, batch_noisy, noise_schedule, rng
     )
+    if compute_dtype is not None:
+        spectrogram = spectrogram.astype(compute_dtype)
+        noisy_audio = noisy_audio.astype(compute_dtype)
     predicted = model.apply(variables, noisy_audio, spectrogram, t)
     return predicted, combine_noise
 
@@ -214,10 +222,9 @@ def diffuse_step(
         variables = {"params": _maybe_cast(params, compute_dtype),
                      **state.extra}
         pred, target = diffuse_train_loss(
-            model, variables,
-            _maybe_cast(clean, compute_dtype),
-            _maybe_cast(noisy, compute_dtype),
+            model, variables, clean, noisy,
             noise_schedule, rng, n_fft, hop,
+            compute_dtype=compute_dtype,
         )
         return criterion(pred.astype(jnp.float32), target.astype(jnp.float32))
 

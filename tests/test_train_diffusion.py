@@ -141,3 +141,44 @@ def test_sample_tsc_runs(rng):
     out = sample_tsc(model, vs, noisy, sched, jax.random.PRNGKey(1))
     assert out.shape == (B, L)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_diffuse_step_fp32_and_bf16(rng):
+    """bf16 compute_dtype must keep the STFT conditioner in fp32 (complex
+    bf16 does not exist — round-4 on-chip crash) and produce a loss close
+    to fp32's; the update must apply."""
+    import optax
+
+    from speech_enhancement_tpu.ops import stft
+    from speech_enhancement_tpu.train import diffuse_step
+    from speech_enhancement_tpu.train.state import ModuleState
+
+    model = DiffuSE(residual_layers=2, residual_channels=32, n_specs=201)
+    clean = jnp.asarray(0.1 * rng.standard_normal((B, L)).astype(np.float32))
+    noisy = clean + jnp.asarray(
+        0.02 * rng.standard_normal((B, L)).astype(np.float32))
+    schedule = jnp.asarray(linear_noise_schedule(50), jnp.float32)
+    spec = jnp.abs(stft(noisy, 400, 100))[:, :-1, :]
+    variables = model.init(jax.random.PRNGKey(0), noisy, spec,
+                           jnp.zeros((B,)))
+    tx = optax.sgd(1e-3)
+    state = ModuleState(params=variables["params"],
+                        extra={k: v for k, v in variables.items()
+                               if k != "params"},
+                        opt_state=tx.init(variables["params"]), step=0)
+    crit = lambda a, b: jnp.mean((a - b) ** 2)  # noqa: E731
+    losses = {}
+    for tag, cd in (("fp32", None), ("bf16", jnp.bfloat16)):
+        new_state, loss = diffuse_step(
+            state, clean, noisy, schedule, jax.random.PRNGKey(3),
+            model=model, criterion=crit, tx=tx, compute_dtype=cd,
+        )
+        assert new_state.step == 1
+        losses[tag] = float(loss)
+        assert np.isfinite(losses[tag])
+        # params moved, and master params stayed fp32
+        leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert leaf.dtype == jnp.float32
+    # same rng/batch: bf16 loss tracks fp32 to matmul tolerance
+    assert abs(losses["bf16"] - losses["fp32"]) < 0.05 * (
+        abs(losses["fp32"]) + 1e-3)
