@@ -74,6 +74,8 @@ def main() -> None:
     ap.add_argument("--report", default="docs/DIFFUSION_BENCH.md")
     ap.add_argument("--rows", nargs="+", default=None,
                     help="subset: diffuse_step tsc_step sampler tsc_sampler")
+    ap.add_argument("--sampler-batch", type=int, default=8,
+                    help="batch size for the reverse-sampler rows")
     args = ap.parse_args()
     rows_wanted = args.rows or ["diffuse_step", "tsc_step", "sampler",
                                 "tsc_sampler"]
@@ -171,7 +173,7 @@ def main() -> None:
 
     # ---- DiffuSE reverse samplers ---------------------------------------
     if "sampler" in rows_wanted:
-        batch, length = 8, 2 * SR
+        batch, length = args.sampler_batch, 2 * SR
         model = DiffuSE(num_steps=50)
         _, noisy = _speechish(rng, batch, length)
         from speech_enhancement_tpu.ops import stft
@@ -197,12 +199,12 @@ def main() -> None:
                 return sample(n, jax.random.PRNGKey(i[0]))
 
             sec = _time(run, max(3, args.steps // 3))
-            record(f"DiffuSE sampler {tag} (B=8, 2 s)", sec,
+            record(f"DiffuSE sampler {tag} (B={batch}, 2 s)", sec,
                    {"utt_per_s": round(batch / sec, 2)})
 
     # ---- TSC reverse sampler --------------------------------------------
     if "tsc_sampler" in rows_wanted:
-        batch, length = 8, 2 * SR
+        batch, length = args.sampler_batch, 2 * SR
         model = DiffusionTSCNet(num_channel=64, num_features=201,
                                 num_steps=50)
         _, noisy = _speechish(rng, batch, length)
@@ -224,7 +226,7 @@ def main() -> None:
             return sample(n, jax.random.PRNGKey(i[0]))
 
         sec = _time(run, 3)
-        record("TSC sampler full 50-step (B=8, 2 s)", sec,
+        record(f"TSC sampler full 50-step (B={batch}, 2 s)", sec,
                {"utt_per_s": round(batch / sec, 2)})
 
     # ---- report ---------------------------------------------------------
