@@ -143,38 +143,38 @@ def main(argv=None):
         raise SystemExit(f"no test wavs in {config.DATA.TEST_NOISY_DIR}")
 
     if args.validate_epochs:
+        # one restorable-'variables' filter serves both branches: an
+        # emergency preemption checkpoint (train state only, no inference
+        # subtree) must be skipped, not crash the sweep
+        def restorable(epoch):
+            p = Path(args.model_path) / f"checkpoint_{epoch:04d}"
+            if (p / "variables").exists():
+                return True
+            print(f"skipping epoch {epoch}: no restorable variables "
+                  f"subtree under {p}")
+            return False
+
         if args.start is not None and args.end is not None:
-            # apply the same restorable-'variables' filter as the
-            # default-discovery path: an emergency preemption checkpoint
-            # inside an explicit range must be skipped, not crash the sweep
-            epochs = []
-            for e in range(args.start, args.end):
-                p = Path(args.model_path) / f"checkpoint_{e:04d}"
-                if (p / "variables").exists():
-                    epochs.append(e)
-                else:
-                    print(f"skipping epoch {e}: no restorable variables "
-                          f"subtree under {p}")
+            epochs = [e for e in range(args.start, args.end)
+                      if restorable(e)]
         else:
-            # default to the checkpoints actually present in model_path,
-            # skipping any without a restorable 'variables' subtree (e.g.
-            # emergency preemption checkpoints save only the train state)
+            # default to the checkpoints actually present in model_path
             found = sorted(
                 int(p.name.split("_")[1])
                 for p in Path(args.model_path).glob("checkpoint_*")
                 if p.name.split("_")[1].isdigit()
-                and (p / "variables").exists()
             )
-            if not found:
-                raise SystemExit(
-                    f"no checkpoint_*/variables under {args.model_path}; "
-                    "pass --start/--end"
-                )
             epochs = [
                 e for e in found
                 if (args.start is None or e >= args.start)
                 and (args.end is None or e < args.end)
+                and restorable(e)
             ]
+            if not epochs:
+                raise SystemExit(
+                    f"no checkpoint_*/variables under {args.model_path}; "
+                    "pass --start/--end"
+                )
         best_pesq, best_epoch = 0.0, 0
         for epoch in epochs:
             model_path = os.path.join(args.model_path,

@@ -53,6 +53,14 @@ from speech_enhancement_tpu.utils import (
 MODEL_NAMES = ["scp", "cp", "sc", "cmgan"]
 
 
+def _validation_pad_rows(b: int, batch_size: int, mesh_size: int) -> int:
+    """Rows a validation batch of ``b`` real utterances is padded to:
+    the full batch size rounded up to the mesh multiple, so every
+    validation batch (a) shards evenly over the mesh even when
+    BATCH_SIZE itself does not, and (b) reuses ONE compiled shape."""
+    return -(-max(b, batch_size) // mesh_size) * mesh_size
+
+
 def parse_option(argv=None):
     parser = argparse.ArgumentParser(description="Speech enhancement training")
     parser.add_argument("-a", "--arch", default="cmgan", choices=MODEL_NAMES)
@@ -378,11 +386,7 @@ def main(argv=None):
             b = batch.audio.shape[0]
             if b == 0:
                 continue
-            # pad to the full batch size (not just the mesh multiple) so
-            # every validation batch reuses ONE compiled shape
-            b_pad = batch_size if b < batch_size else (
-                -(-b // mesh.devices.size) * mesh.devices.size
-            )
+            b_pad = _validation_pad_rows(b, batch_size, mesh.devices.size)
             if b_pad != b:
                 idx = np.arange(b_pad) % b  # cyclic repeats of real rows
                 audio, noisy_np = batch.audio[idx], batch.noisy[idx]

@@ -276,12 +276,57 @@ def _kernel_call(
     return out[:b].reshape(b, n, h, d)
 
 
+def _bwd_all_head_biasT(q_ref, rel_ref, *, h, d):
+    """The all-head Shaw bias, recomputed exactly as the forward: ONE
+    matmul batched over i with all (head, instance) rows packed into M.
+    Returns biasT [n_i, h*rows, n] fp32."""
+    parts = [
+        jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
+        for hh in range(h)
+    ]  # each [n_i, rows, d]
+    qT = jnp.concatenate(parts, axis=1)  # [n_i, h*rows, d]
+    return jax.lax.dot_general(
+        qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [n_i, h*rows, n]
+
+
+def _recompute_softmax_ds(q_ref, k_ref, v_ref, g_ref, biasT, *, rows,
+                          h, d, scale, hh):
+    """Shared backward recompute for one head: returns (q_h, k_h, g_h,
+    attn, ds) with attn/ds fp32 [rows, n_i, n].  Flash-style: the
+    forward's logits never touched HBM, so the backward re-derives
+    softmax rows in VMEM from the resident q/k/rel blocks (full k rows —
+    complete softmax, no online rescaling needed)."""
+    sl = slice(hh * d, (hh + 1) * d)
+    q_h = q_ref[:, :, sl]          # [rows, n_i, d]
+    k_h = k_ref[:, :, sl]          # [rows, n, d]
+    v_h = v_ref[:, :, sl]
+    g_h = g_ref[:, :, sl]          # [rows, n_i, d]
+    dots = jax.lax.dot_general(
+        q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [rows, n_i, n]
+    bias = jnp.transpose(biasT[:, hh * rows:(hh + 1) * rows, :], (1, 0, 2))
+    logits = (dots + bias) * scale
+    m = jnp.max(logits, axis=2, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=2, keepdims=True)
+    attn = e / s                   # fp32 [rows, n_i, n]
+    dattn = jax.lax.dot_general(
+        g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [rows, n_i, n]
+    ds = attn * (dattn - jnp.sum(attn * dattn, axis=2, keepdims=True))
+    return q_h, k_h, g_h, attn, ds
+
+
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref, drel_ref, *, rows, n, h, d,
-                     scale, grid_i):
+                     dq_ref, dk_ref, dv_ref, drel_ref=None, *, rows, n,
+                     h, d, scale, grid_i):
     """Fused backward: recomputes the attention for the resident tile
     (logits never touched HBM in the forward — flash-style recompute) and
-    emits all four gradients with the forward's layout rules.
+    emits the gradients with the forward's layout rules.
 
     q/g/dq_ref: [rows, n_i, h*d]; k/v/dk/dv_ref: [rows, n, h*d];
     rel_ref: [n_i, d, n]; drel_ref: [n_i, d, n] fp32 — the per-(i, j)
@@ -291,47 +336,26 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref,
       dV = Pᵀ G;   dP = G Vᵀ;   dS = P ∘ (dP - rowsum(P ∘ dP)) · scale
       dQ = dS K + Σ_j dS[i, j] · rel[i, :, j];   dK = dSᵀ Q
       drel[i, :, j] = Σ_rows Q[r, i, :] · dS[r, i, j]
-    ``grid_i=True``: grid is (batch, query-blocks) with full k/v rows —
-    dk/dv accumulate across query blocks, drel across batch blocks."""
-    bb = pl.program_id(0)
+
+    ``grid_i=True``: grid is (batch OUTER, query-blocks INNER) with full
+    k/v rows — dk/dv accumulate across the inner query-block axis (their
+    VMEM buffers persist across consecutive revisits) and drel is NOT
+    emitted (drel_ref is None): a TPU output block only survives
+    CONSECUTIVE grid steps, and drel's revisits would ride the outer
+    batch axis — the bb>0 accumulations would read rotated/stale buffers
+    (measured on v5e: dtable max_rel 1.62 vs XLA at grid (2, 10) before
+    this was split out).  The caller runs :func:`_attn_bwd_drel_kernel`
+    with the transposed grid instead."""
     ii = pl.program_id(1) if grid_i else None
 
-    # recompute the all-head bias exactly as the forward does
-    parts = [
-        jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
-        for hh in range(h)
-    ]  # each [n_i, rows, d]
-    qT = jnp.concatenate(parts, axis=1)  # [n_i, h*rows, d]
-    biasT = jax.lax.dot_general(
-        qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [n_i, h*rows, n]
-
+    biasT = _bwd_all_head_biasT(q_ref, rel_ref, h=h, d=d)
     dqs, dks, dvs = [], [], []
     drel_total = None
     dtype = q_ref.dtype
     for hh in range(h):
-        sl = slice(hh * d, (hh + 1) * d)
-        q_h = q_ref[:, :, sl]          # [rows, n_i, d]
-        k_h = k_ref[:, :, sl]          # [rows, n, d]
-        v_h = v_ref[:, :, sl]
-        g_h = g_ref[:, :, sl]          # [rows, n_i, d]
-        dots = jax.lax.dot_general(
-            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [rows, n_i, n]
-        bias = jnp.transpose(biasT[:, hh * rows:(hh + 1) * rows, :],
-                             (1, 0, 2))
-        logits = (dots + bias) * scale
-        m = jnp.max(logits, axis=2, keepdims=True)
-        e = jnp.exp(logits - m)
-        s = jnp.sum(e, axis=2, keepdims=True)
-        attn = e / s                   # fp32 [rows, n_i, n]
-        dattn = jax.lax.dot_general(
-            g_h, v_h, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [rows, n_i, n]
-        ds = attn * (dattn - jnp.sum(attn * dattn, axis=2, keepdims=True))
+        q_h, k_h, g_h, attn, ds = _recompute_softmax_ds(
+            q_ref, k_ref, v_ref, g_ref, biasT, rows=rows, h=h, d=d,
+            scale=scale, hh=hh)
         dp = (ds * scale).astype(dtype)      # operand-dtype for the MXU
         attn_c = attn.astype(dtype)
         dvs.append(jax.lax.dot_general(
@@ -352,19 +376,24 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref,
             preferred_element_type=jnp.float32,
         )  # [n_i, rows, d]
         dqs.append(dq_h + jnp.transpose(dq2T, (1, 0, 2)))
-        q_hT = jnp.transpose(q_h, (1, 2, 0))  # [n_i, d, rows]
-        drel_h = jax.lax.dot_general(
-            q_hT, dpT, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [n_i, d, n]
-        drel_total = drel_h if drel_total is None else drel_total + drel_h
+        if not grid_i:
+            q_hT = jnp.transpose(q_h, (1, 2, 0))  # [n_i, d, rows]
+            drel_h = jax.lax.dot_general(
+                q_hT, dpT, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [n_i, d, n]
+            drel_total = (drel_h if drel_total is None
+                          else drel_total + drel_h)
 
     dq_ref[...] = jnp.concatenate(dqs, axis=2).astype(dq_ref.dtype)
-    dk = jnp.concatenate(dks, axis=2).astype(jnp.float32)
-    dv = jnp.concatenate(dvs, axis=2).astype(jnp.float32)
+    dk = jnp.concatenate(dks, axis=2)  # fp32
+    dv = jnp.concatenate(dvs, axis=2)
     if grid_i:
         # dk/dv blocks are revisited for every query block of a batch
-        # tile (index map ignores ii): init at ii==0, then accumulate
+        # tile (index map ignores the INNER ii — consecutive revisits):
+        # init at ii==0, then accumulate in fp32 (dk/dv out_shape is
+        # fp32 even for bf16 operands: rounding every partial sum to
+        # bf16 compounds across i-blocks)
         @pl.when(ii == 0)
         def _():
             dk_ref[...] = dk.astype(dk_ref.dtype)
@@ -377,9 +406,49 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref,
     else:
         dk_ref[...] = dk.astype(dk_ref.dtype)
         dv_ref[...] = dv.astype(dv_ref.dtype)
+        # single-axis batch grid: drel's block index is constant, so its
+        # revisits ARE consecutive — safe to accumulate here
+        bb = pl.program_id(0)
 
-    # drel blocks are revisited for every batch tile (index map ignores
-    # bb): init on the first batch tile, accumulate after
+        @pl.when(bb == 0)
+        def _():
+            drel_ref[...] = drel_total
+
+        @pl.when(bb != 0)
+        def _():
+            drel_ref[...] += drel_total
+
+
+def _attn_bwd_drel_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref, drel_ref,
+                          *, rows, n, h, d, scale):
+    """drel-only backward for the long-sequence path, grid
+    (query-blocks OUTER, batch INNER): drel's block index follows the
+    outer ii, so its accumulation across batch tiles rides the INNER
+    axis — consecutive revisits, the only pattern whose output buffer
+    persists on TPU.  Recomputes softmax/ds per head (the dq/dk/dv
+    kernel can't emit drel under its (bb, ii) grid order; see
+    :func:`_attn_bwd_kernel`).  ~4h matmuls per step vs the main
+    kernel's ~6h — the long-n backward pays ~1.6x compute for
+    correctness; only crops past the whole-instance VMEM budget
+    (n > ~690) take this path."""
+    bb = pl.program_id(1)
+
+    biasT = _bwd_all_head_biasT(q_ref, rel_ref, h=h, d=d)
+    drel_total = None
+    dtype = q_ref.dtype
+    for hh in range(h):
+        q_h, _, _, _, ds = _recompute_softmax_ds(
+            q_ref, k_ref, v_ref, g_ref, biasT, rows=rows, h=h, d=d,
+            scale=scale, hh=hh)
+        dp = (ds * scale).astype(dtype)
+        dpT = jnp.transpose(dp, (1, 0, 2))    # [n_i, rows, n]
+        q_hT = jnp.transpose(q_h, (1, 2, 0))  # [n_i, d, rows]
+        drel_h = jax.lax.dot_general(
+            q_hT, dpT, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [n_i, d, n]
+        drel_total = drel_h if drel_total is None else drel_total + drel_h
+
     @pl.when(bb == 0)
     def _():
         drel_ref[...] = drel_total
@@ -387,6 +456,47 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref,
     @pl.when(bb != 0)
     def _():
         drel_ref[...] += drel_total
+
+
+def _auto_batch_tile_bwd_itiled(n: int, h: int, d: int, itemsize: int,
+                                i_tile: int,
+                                vmem_budget: int = 60 << 20) -> int:
+    """Batch tile for the i-tiled dq/dk/dv backward kernel.  Per batch
+    row the kernel keeps the all-head biasT [i_tile, h*row, n] fp32,
+    ~6 fp32 [row, i_tile, n] arrays (dots/logits/e/attn/dattn/ds), the
+    operand-dtype dp/attn copies, the full-k operand blocks (k/v/g) and
+    the fp32 dk/dv output blocks.  Fixed cost: the double-buffered rel
+    block.  The forward's `_auto_batch_tile_itiled` model under-counts
+    this set — using it OOMed the 100 MB scoped-vmem cap at n=1280 fp32
+    (measured 104.4 MB at tile 4)."""
+    per_row = (
+        i_tile * h * n * 4            # biasT
+        + 6 * i_tile * n * 4          # fp32 softmax/ds live set
+        + 2 * i_tile * n * itemsize   # dp / attn operand-dtype copies
+        + 2 * 3 * n * h * d * itemsize  # double-buffered k/v/g blocks
+        + 2 * 2 * n * h * d * 4       # fp32 dk/dv output blocks
+    )
+    fixed = 2 * i_tile * d * n * 4    # double-buffered rel block
+    r = max(1, (vmem_budget - fixed) // per_row)
+    return 1 << (int(r).bit_length() - 1)
+
+
+def _auto_batch_tile_drel(n: int, h: int, d: int, itemsize: int,
+                          i_tile: int,
+                          vmem_budget: int = 80 << 20) -> int:
+    """Batch tile for the drel-only kernel: same softmax recompute set
+    as the dq/dk/dv kernel minus its gradient blocks, plus the fixed
+    fp32 [i_tile, d, n] drel accumulation chain (~2 live) and output
+    block."""
+    per_row = (
+        i_tile * h * n * 4
+        + 6 * i_tile * n * 4
+        + 2 * i_tile * n * itemsize
+        + 2 * 3 * n * h * d * itemsize
+    )
+    fixed = 2 * i_tile * d * n * 4 + 3 * i_tile * d * n * 4
+    r = max(1, (vmem_budget - fixed) // per_row)
+    return 1 << (int(r).bit_length() - 1)
 
 
 def _auto_batch_tile_bwd(n: int, heads: int,
@@ -428,11 +538,8 @@ def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
     if grid_i:
         i_tile = _I_TILE
         if batch_tile is None:
-            batch_tile = max(
-                1,
-                _auto_batch_tile_itiled(n, h, d, dtype.itemsize, i_tile,
-                                        vmem_budget=40 << 20),
-            )
+            batch_tile = _auto_batch_tile_bwd_itiled(
+                n, h, d, dtype.itemsize, i_tile)
         ni_pad = _round_up(n, i_tile)
         qf = jnp.pad(qf, ((0, 0), (0, ni_pad - n), (0, 0)))
         gf = jnp.pad(gf, ((0, 0), (0, ni_pad - n), (0, 0)))
@@ -445,7 +552,9 @@ def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
             _attn_bwd_kernel, rows=batch_tile, n=n, h=h, d=d, scale=scale,
             grid_i=True,
         )
-        dq, dk, dv, drel = pl.pallas_call(
+        # pass 1, grid (batch OUTER, query-block INNER): dq written once
+        # per (bb, ii); dk/dv accumulate over the inner ii in fp32
+        dq, dk, dv = pl.pallas_call(
             kernel,
             grid=(b_pad // batch_tile, ni_pad // i_tile),
             in_specs=[
@@ -467,20 +576,58 @@ def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
                              index_map=lambda bb, ii: (bb, 0, 0)),
                 pl.BlockSpec((batch_tile, n, h * d),
                              index_map=lambda bb, ii: (bb, 0, 0)),
-                pl.BlockSpec((i_tile, d, n),
-                             index_map=lambda bb, ii: (ii, 0, 0)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b_pad, ni_pad, h * d), dtype),
-                jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
-                jax.ShapeDtypeStruct((b_pad, n, h * d), dtype),
-                jax.ShapeDtypeStruct((ni_pad, d, n), jnp.float32),
+                jax.ShapeDtypeStruct((b_pad, n, h * d), jnp.float32),
+                jax.ShapeDtypeStruct((b_pad, n, h * d), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=_interpret(),
         )(qf, kf, vf, rel_p, gf)
+        dk = dk.astype(dtype)
+        dv = dv.astype(dtype)
+        # pass 2, grid (query-block OUTER, batch INNER): drel accumulates
+        # over the inner batch axis — the only revisit order whose output
+        # buffer persists (see _attn_bwd_drel_kernel)
+        drel_tile = _auto_batch_tile_drel(n, h, d, dtype.itemsize, i_tile)
+        # round up from the ALREADY padded b_pad: extra zero rows are
+        # exact no-ops for drel (g=0 rows give ds=0)
+        bd_pad = _round_up(b_pad, drel_tile)
+        qd, kd, vd, gd = (
+            (jnp.pad(x, ((0, bd_pad - x.shape[0]), (0, 0), (0, 0)))
+             if x.shape[0] != bd_pad else x)
+            for x in (qf, kf, vf, gf)
+        )
+        drel_kernel = functools.partial(
+            _attn_bwd_drel_kernel, rows=drel_tile, n=n, h=h, d=d,
+            scale=scale,
+        )
+        drel = pl.pallas_call(
+            drel_kernel,
+            grid=(ni_pad // i_tile, bd_pad // drel_tile),
+            in_specs=[
+                pl.BlockSpec((drel_tile, i_tile, h * d),
+                             index_map=lambda ii, bb: (bb, ii, 0)),
+                pl.BlockSpec((drel_tile, n, h * d),
+                             index_map=lambda ii, bb: (bb, 0, 0)),
+                pl.BlockSpec((drel_tile, n, h * d),
+                             index_map=lambda ii, bb: (bb, 0, 0)),
+                pl.BlockSpec((i_tile, d, n),
+                             index_map=lambda ii, bb: (ii, 0, 0)),
+                pl.BlockSpec((drel_tile, i_tile, h * d),
+                             index_map=lambda ii, bb: (bb, ii, 0)),
+            ],
+            out_specs=pl.BlockSpec((i_tile, d, n),
+                                   index_map=lambda ii, bb: (ii, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ni_pad, d, n), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(qd, kd, vd, rel_p, gd)
         drel = drel[:n]
     else:
         if batch_tile is None:

@@ -50,6 +50,25 @@ CROP_FRAMES: 40
     return root, str(cfg)
 
 
+def test_validation_pad_rows_mesh_divisible():
+    """Ragged validation tails must pad to a shape that BOTH shards
+    evenly over the mesh and matches the full-batch compiled shape —
+    even when BATCH_SIZE itself does not divide the mesh (a tail padded
+    to exactly BATCH_SIZE=12 on an 8-device mesh crashed shard_batch)."""
+    from speech_enhancement_tpu.cli.main_gan import _validation_pad_rows
+
+    # batch_size 12, 8-device mesh: tails and full batches both pad to 16
+    assert _validation_pad_rows(5, 12, 8) == 16
+    assert _validation_pad_rows(12, 12, 8) == 16
+    # divisible config: tails pad to the batch size, full batches untouched
+    assert _validation_pad_rows(3, 32, 8) == 32
+    assert _validation_pad_rows(32, 32, 8) == 32
+    # single device: pad to the batch size exactly
+    assert _validation_pad_rows(1, 2, 1) == 2
+    # every batch reuses ONE compiled shape regardless of tail size
+    assert len({_validation_pad_rows(b, 12, 8) for b in range(1, 13)}) == 1
+
+
 @pytest.mark.slow
 def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     root, cfg = tiny_dataset

@@ -158,6 +158,46 @@ def test_long_sequence_itiled_grid(rng):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_itiled_backward_multi_tile_grids(rng, monkeypatch):
+    """Gradient parity when BOTH backward grid dims exceed one block
+    (batch tiles >= 2 AND query-block tiles >= 2).
+
+    Regression guard for a hardware-only accumulation bug: the original
+    single-kernel i-tiled backward accumulated the rel-table gradient
+    across the OUTER batch grid axis, but a TPU output block's VMEM
+    buffer only persists across CONSECUTIVE grid steps — measured on
+    v5e, dtable came out at max_rel 1.62 vs XLA at grid (2, 10) while
+    interpret mode (which rewrites the backing array every step)
+    passed.  The fix splits the backward into a dq/dk/dv kernel
+    (grid (bb, ii), dk/dv accumulate over the inner ii) and a drel-only
+    kernel with the TRANSPOSED grid (ii, bb) so its accumulation also
+    rides the inner axis.  This test exercises the two-pass plumbing
+    (grid orders, padding, fp32 accumulation, segment-sum) at a
+    multi-tile shape; scripts/check_bwd_grid_accum.py re-validates the
+    buffer semantics on real hardware (n=1280, fp32 and bf16)."""
+    from speech_enhancement_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_VMEM_FALLBACK_BYTES", 1)
+    monkeypatch.setattr(pa, "_I_TILE", 64)
+
+    b, n, h, d = 7, 150, 2, 8  # ragged: 4 batch tiles x 3 i-tiles
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((1025, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+
+    gf = pa._bwd_kernel_call(q, k, v, table, g, 512, d**-0.5, 2)
+
+    def loss_ref(q_, k_, v_, t_):
+        return jnp.sum(pa._xla_attention(q_, k_, v_, t_, 512, d**-0.5) * g)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for name, a, b_ in zip(("dq", "dk", "dv", "dtable"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
 def test_fused_attention_module_equivalence(rng):
     """ShawAttention(fused=True) == ShawAttention(fused=False) with the
     same params."""
