@@ -51,13 +51,22 @@ def _fence(x):
     float(jnp.ravel(leaf)[0])
 
 
-def _measure(fn, args_list, warmup=3):
-    for i in range(warmup):
-        _fence(fn(*args_list[i % len(args_list)]))
-    t0 = time.perf_counter()
-    for a in args_list:
+WARMUP = 3
+
+
+def _measure(fn, args_list, warmup=WARMUP):
+    """args_list[:warmup] are consumed for warmup and EXCLUDED from the
+    timed loop: re-executing an already-run buffer set would let the
+    runtime's execution memoization serve it for free and understate the
+    step time (CLAUDE.md: always vary inputs across timing iterations)."""
+    assert len(args_list) > warmup, "need fresh inputs for the timed loop"
+    for a in args_list[:warmup]:
         _fence(fn(*a))
-    return (time.perf_counter() - t0) / len(args_list)
+    timed = args_list[warmup:]
+    t0 = time.perf_counter()
+    for a in timed:
+        _fence(fn(*a))
+    return (time.perf_counter() - t0) / len(timed)
 
 
 def _flops(jitted, *args) -> float:
@@ -96,7 +105,7 @@ def serving_report(steps: int):
     rng = np.random.default_rng(0)
     t = np.arange(length) / SR
     batches = []
-    for i in range(steps):
+    for i in range(steps + WARMUP):
         tone = 0.3 * np.sin(2 * np.pi * (150 + 5 * i) * t)
         b = np.stack([tone * (1 + 0.01 * j) for j in range(batch)])
         batches.append(
@@ -163,7 +172,7 @@ def train_report(steps: int, bf16: bool):
     jg = jax.jit(gen_step, static_argnames=())
     gen_flops = _flops(jg, state, clean, noisy, key)
     gen_args = [(state, clean + 1e-4 * i, noisy + 1e-4 * i,
-                 jax.random.PRNGKey(i)) for i in range(steps)]
+                 jax.random.PRNGKey(i)) for i in range(steps + WARMUP)]
     gen_sec = _measure(jg, gen_args)
 
     _, aux = jg(state, clean, noisy, key)
@@ -171,7 +180,7 @@ def train_report(steps: int, bf16: bool):
     jd = jax.jit(disc_step)
     disc_flops = _flops(jd, state, aux, q, q, q, key)
     disc_args = [(state, aux, q + 0.001 * i, q, q, jax.random.PRNGKey(i))
-                 for i in range(steps)]
+                 for i in range(steps + WARMUP)]
     disc_sec = _measure(jd, disc_args)
 
     tag = "bf16" if bf16 else "fp32"

@@ -170,11 +170,14 @@ def main(argv=None):
                 and (args.end is None or e < args.end)
                 and restorable(e)
             ]
-            if not epochs:
-                raise SystemExit(
-                    f"no checkpoint_*/variables under {args.model_path}; "
-                    "pass --start/--end"
-                )
+        if not epochs:
+            # guard BOTH branches: an explicit --start/--end range whose
+            # checkpoints are all missing must fail loudly, not print a
+            # bogus "Best epoch: 0, best PESQ: 0.0" and exit 0
+            raise SystemExit(
+                f"no restorable checkpoint_*/variables under "
+                f"{args.model_path} in the requested range"
+            )
         best_pesq, best_epoch = 0.0, 0
         for epoch in epochs:
             model_path = os.path.join(args.model_path,

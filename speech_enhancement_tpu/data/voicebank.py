@@ -226,6 +226,16 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
+        if self.num_shards > 1 and len(idx) % self.num_shards:
+            # pad to a multiple of the shard count by wrapping (torch
+            # DistributedSampler semantics): every shard then has the
+            # SAME length, so per-process batch counts match and jitted
+            # collective steps stay in lockstep — strided sharding of a
+            # ragged index list gives shard 0 one extra element, which
+            # can mean one extra batch on some processes (a hang inside
+            # a global-mesh eval/train step)
+            total = -(-len(idx) // self.num_shards) * self.num_shards
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
         return idx[self.shard_id :: self.num_shards]
 
     def __len__(self) -> int:

@@ -71,6 +71,46 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _rel_operand(rel_table, n, max_pos_emb, dtype):
+    """Gather the clipped relative-position table once (tiny: n*n rows of
+    the 2*max_pos_emb+1 table) and lay it out [i, d, j] for the batched
+    bias dot.  Shared by the forward and backward pallas_call drivers so
+    the [i, j] index map cannot diverge.  Returns (idx, rel)."""
+    idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
+                  -max_pos_emb, max_pos_emb) + max_pos_emb
+    rel = rel_table[jnp.asarray(idx)].astype(dtype)     # [i, j, d]
+    return idx, jnp.transpose(rel, (0, 2, 1))           # [i, d, j]
+
+
+def _clamp_tile(tile: int, b: int) -> int:
+    """Cap an auto-sized power-of-two batch tile at the next power of two
+    >= the actual batch: a VMEM budget can propose tiles far above b for
+    small shapes (e.g. 512 at b=2, n=17), and the caller pads the batch up
+    to the tile — every padded row is pure wasted kernel compute."""
+    return min(tile, 1 << max(0, (b - 1).bit_length()))
+
+
+def _all_head_biasT(q_ref, rel_ref, *, h, d):
+    """The all-head Shaw bias for ALL (head, instance) rows in ONE
+    matmul batched over i — shared by the forward kernel and both
+    backward kernels (the backward recompute must be bit-identical to
+    the forward).  Returns biasT [n_i, h*rows, n] fp32.
+
+    Kept fp32: storing it bf16 (to halve VMEM and buy a 2x batch tile)
+    was measured SLOWER on v5e — 339.8 ms (tile 8) / 347.5 ms (tile 16)
+    vs 325.3 ms — the repack to bf16 lanes costs more than the bandwidth
+    it saves and bigger tiles reduce grid-level overlap."""
+    parts = [
+        jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
+        for hh in range(h)
+    ]  # each [n_i, rows, d]
+    qT = jnp.concatenate(parts, axis=1)  # [n_i, h*rows, d]
+    return jax.lax.dot_general(
+        qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [n_i, h*rows, n]
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
                  scale):
     """q/out_ref: [rows, n_i, h*d]; k/v_ref: [rows, n, h*d]; rel_ref:
@@ -81,20 +121,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, rel_ref, out_ref, *, rows, n, h, d,
     the caller grids over query blocks (n_i = _I_TILE) with full k/v per
     instance — the softmax row [n_i, n] is always complete, so no online
     softmax is needed and the math is identical."""
-    # bias for ALL (head, instance) rows in one batched-over-i matmul
-    parts = [
-        jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
-        for hh in range(h)
-    ]  # each [n, rows, d]
-    qT = jnp.concatenate(parts, axis=1)  # [n, h*rows, d]
-    biasT = jax.lax.dot_general(
-        qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [n(i), h*rows, n(j)]
-    # keep biasT in fp32: storing it bf16 (to halve VMEM and buy a 2x
-    # batch tile) was measured SLOWER on v5e — 339.8 ms (tile 8) / 347.5 ms
-    # (tile 16) vs 325.3 ms — the repack to bf16 lanes costs more than the
-    # bandwidth it saves and bigger tiles reduce grid-level overlap
+    biasT = _all_head_biasT(q_ref, rel_ref, h=h, d=d)
 
     outs = []
     for hh in range(h):
@@ -188,13 +215,8 @@ def _kernel_call(
         scale = d**-0.5
     _explicit_tile = batch_tile
     if batch_tile is None:
-        batch_tile = _auto_batch_tile(n, h)
-    # gather the [i, j] table once (tiny: n*n rows of the 2*max_pos_emb+1
-    # table) and lay it out [i, d, j] for the batched dot
-    idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
-                  -max_pos_emb, max_pos_emb) + max_pos_emb
-    rel = rel_table[jnp.asarray(idx)].astype(dtype)     # [i, j, d]
-    rel = jnp.transpose(rel, (0, 2, 1))                 # [i, d, j]
+        batch_tile = _clamp_tile(_auto_batch_tile(n, h), b)
+    _, rel = _rel_operand(rel_table, n, max_pos_emb, dtype)
 
     qf, kf, vf = (x.reshape(b, n, h * d) for x in (q, k, v))
 
@@ -208,8 +230,9 @@ def _kernel_call(
         # whole-instance _auto_batch_tile default computed above is for
         # the other layout and is always replaced here)
         if _explicit_tile is None:
-            batch_tile = _auto_batch_tile_itiled(n, h, d, q.dtype.itemsize,
-                                                 i_tile)
+            batch_tile = _clamp_tile(
+                _auto_batch_tile_itiled(n, h, d, q.dtype.itemsize, i_tile),
+                b)
         else:
             batch_tile = _explicit_tile
         ni_pad = _round_up(n, i_tile)
@@ -276,21 +299,6 @@ def _kernel_call(
     return out[:b].reshape(b, n, h, d)
 
 
-def _bwd_all_head_biasT(q_ref, rel_ref, *, h, d):
-    """The all-head Shaw bias, recomputed exactly as the forward: ONE
-    matmul batched over i with all (head, instance) rows packed into M.
-    Returns biasT [n_i, h*rows, n] fp32."""
-    parts = [
-        jnp.transpose(q_ref[:, :, hh * d:(hh + 1) * d], (1, 0, 2))
-        for hh in range(h)
-    ]  # each [n_i, rows, d]
-    qT = jnp.concatenate(parts, axis=1)  # [n_i, h*rows, d]
-    return jax.lax.dot_general(
-        qT, rel_ref[...], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [n_i, h*rows, n]
-
-
 def _recompute_softmax_ds(q_ref, k_ref, v_ref, g_ref, biasT, *, rows,
                           h, d, scale, hh):
     """Shared backward recompute for one head: returns (q_h, k_h, g_h,
@@ -348,7 +356,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref,
     with the transposed grid instead."""
     ii = pl.program_id(1) if grid_i else None
 
-    biasT = _bwd_all_head_biasT(q_ref, rel_ref, h=h, d=d)
+    biasT = _all_head_biasT(q_ref, rel_ref, h=h, d=d)
     dqs, dks, dvs = [], [], []
     drel_total = None
     dtype = q_ref.dtype
@@ -433,7 +441,7 @@ def _attn_bwd_drel_kernel(q_ref, k_ref, v_ref, rel_ref, g_ref, drel_ref,
     (n > ~690) take this path."""
     bb = pl.program_id(1)
 
-    biasT = _bwd_all_head_biasT(q_ref, rel_ref, h=h, d=d)
+    biasT = _all_head_biasT(q_ref, rel_ref, h=h, d=d)
     drel_total = None
     dtype = q_ref.dtype
     for hh in range(h):
@@ -527,10 +535,7 @@ def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
     cotangent dtypes matching the primals."""
     b, n, h, d = q.shape
     dtype = q.dtype
-    idx = np.clip(np.arange(n)[:, None] - np.arange(n)[None, :],
-                  -max_pos_emb, max_pos_emb) + max_pos_emb
-    rel = rel_table[jnp.asarray(idx)].astype(dtype)     # [i, j, d]
-    rel = jnp.transpose(rel, (0, 2, 1))                 # [i, d, j]
+    idx, rel = _rel_operand(rel_table, n, max_pos_emb, dtype)
 
     qf, kf, vf, gf = (x.reshape(b, n, h * d) for x in (q, k, v, g))
     grid_i = _min_vmem_bytes_bwd(n, h, d, dtype.itemsize) > _VMEM_FALLBACK_BYTES
@@ -538,8 +543,10 @@ def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
     if grid_i:
         i_tile = _I_TILE
         if batch_tile is None:
-            batch_tile = _auto_batch_tile_bwd_itiled(
-                n, h, d, dtype.itemsize, i_tile)
+            batch_tile = _clamp_tile(
+                _auto_batch_tile_bwd_itiled(n, h, d, dtype.itemsize,
+                                            i_tile),
+                b)
         ni_pad = _round_up(n, i_tile)
         qf = jnp.pad(qf, ((0, 0), (0, ni_pad - n), (0, 0)))
         gf = jnp.pad(gf, ((0, 0), (0, ni_pad - n), (0, 0)))
@@ -592,7 +599,8 @@ def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
         # pass 2, grid (query-block OUTER, batch INNER): drel accumulates
         # over the inner batch axis — the only revisit order whose output
         # buffer persists (see _attn_bwd_drel_kernel)
-        drel_tile = _auto_batch_tile_drel(n, h, d, dtype.itemsize, i_tile)
+        drel_tile = _clamp_tile(
+            _auto_batch_tile_drel(n, h, d, dtype.itemsize, i_tile), b_pad)
         # round up from the ALREADY padded b_pad: extra zero rows are
         # exact no-ops for drel (g=0 rows give ds=0)
         bd_pad = _round_up(b_pad, drel_tile)
@@ -631,7 +639,7 @@ def _bwd_kernel_call(q, k, v, rel_table, g, max_pos_emb, scale, batch_tile):
         drel = drel[:n]
     else:
         if batch_tile is None:
-            batch_tile = _auto_batch_tile_bwd(n, h)
+            batch_tile = _clamp_tile(_auto_batch_tile_bwd(n, h), b)
         b_pad = _round_up(b, batch_tile)
         if b_pad != b:
             pad = ((0, b_pad - b), (0, 0), (0, 0))

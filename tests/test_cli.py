@@ -127,6 +127,23 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     ])
 
 
+def test_validate_epochs_empty_range_fails_loudly(tiny_dataset, tmp_path):
+    """An explicit --start/--end sweep whose checkpoints are all missing
+    must raise, not print 'Best epoch: 0, best PESQ: 0.0' and exit 0
+    (the no-restorable-checkpoints guard covers BOTH epoch-selection
+    branches)."""
+    import speech_enhancement_tpu.cli.inference_gan as ig
+
+    root, cfg = tiny_dataset
+    empty = tmp_path / "no_ckpts"
+    empty.mkdir()
+    for extra in ([], ["--start", "0", "--end", "5"]):
+        with pytest.raises(SystemExit, match="no restorable"):
+            ig.main(["--cfg", cfg, "-m", str(empty),
+                     "-o", str(tmp_path / "out"), "--validate-epochs",
+                     *extra])
+
+
 def test_step_mode_flag(tiny_dataset):
     """--step-mode selection and the --async-disc alias/conflict rules."""
     from speech_enhancement_tpu.cli.main_gan import parse_option

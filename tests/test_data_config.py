@@ -135,6 +135,38 @@ def test_dataloader_sharding_and_epochs(wav_dirs):
     assert len(list(dl0)) == 1
 
 
+def test_dataloader_equal_shard_batch_counts(wav_dirs):
+    """Every shard must yield the SAME number of batches for both
+    drop_last settings (torch DistributedSampler semantics: indices are
+    padded to a multiple of the shard count by wrapping).  Strided
+    sharding of a ragged index list gives shard 0 one extra element,
+    which can mean one extra batch on some processes — a hang inside a
+    jitted collective eval/train step (ceil: 33 utts / 2 shards / bs 16
+    -> 2 vs 1 batches; floor: 63 utts -> 2 vs 1)."""
+    clean_dir, noisy_dir = wav_dirs
+    ds = VoicebankDataset(clean_dir, noisy_dir)  # 6 records
+    assert len(ds) == 6
+
+    def loader(shard, num_shards, drop_last, batch_size=2):
+        col = Collator(100, 160, silence_check=False)
+        return DataLoader(ds, batch_size, col, seed=5, shard_id=shard,
+                          num_shards=num_shards, num_workers=1,
+                          drop_last=drop_last)
+
+    for num_shards in (2, 4):  # 6 % 4 != 0: ragged shards
+        for drop_last in (True, False):
+            dls = [loader(s, num_shards, drop_last)
+                   for s in range(num_shards)]
+            counts = [len(dl) for dl in dls]
+            assert len(set(counts)) == 1, (num_shards, drop_last, counts)
+            assert counts[0] == len(list(dls[0]))
+    # every record still appears at least once across shards (padding
+    # wraps, it doesn't drop), and each shard gets the padded equal size
+    shard_idx = [loader(s, 4, drop_last=False)._indices() for s in range(4)]
+    assert all(len(ix) == 2 for ix in shard_idx)  # ceil(6/4)=2 each
+    assert set(np.concatenate(shard_idx)) == set(range(6))
+
+
 def test_dataloader_deterministic_across_worker_counts(wav_dirs):
     """Fixed seed -> identical batch streams at any num_workers: crops are
     drawn from per-batch generators keyed by (seed, epoch, shard, batch),

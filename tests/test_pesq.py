@@ -203,7 +203,10 @@ def test_engine_conformance_fixture():
     scripts/make_pesq_validation_set.py --conformance) pins the engine:
 
     * regression — a re-scored subset must reproduce the committed MOS
-      values exactly (the engine is deterministic C++);
+      values to 1e-4 (the engine is deterministic C++, but libpesq.so is
+      rebuilt on demand per host: a different compiler/libm can shift
+      exp/log by a few ulps, so exact equality would only hold on the
+      machine that generated the fixture);
     * behavior — the properties ITU P.862 is specified to have hold:
       MOS strictly monotone in MNRU Q per seed, level-offset invariance
       (|ΔMOS| ≤ 0.02 at ±10 dB), delay invariance (|ΔMOS| ≤ 0.05 up to
@@ -240,4 +243,4 @@ def test_engine_conformance_fixture():
         deg = _mnru(np.random.default_rng(rec["seed"] * 100 + rec["q_db"]),
                     clean, rec["q_db"])
         np.testing.assert_allclose(pesq(FS, clean, deg), rec["mos"],
-                                   atol=2e-6)
+                                   atol=1e-4)
