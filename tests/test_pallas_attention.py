@@ -198,6 +198,51 @@ def test_itiled_backward_multi_tile_grids(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+def test_whole_instance_backward_multi_batch_tiles(rng):
+    """Gradient parity for the WHOLE-INSTANCE backward when the batch
+    grid has several tiles (grid (bb,) with drel accumulating across
+    consecutive bb steps — the safe revisit order; the i-tiled path has
+    its own two-pass test above).  Ragged b also exercises the zero-row
+    padding no-op argument (g=0 rows give ds=0)."""
+    from speech_enhancement_tpu.ops import pallas_attention as pa
+
+    b, n, h, d = 7, 33, 2, 8  # batch_tile=2 -> 4 grid steps, 1 pad row
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((1025, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+
+    gf = pa._bwd_kernel_call(q, k, v, table, g, 512, d**-0.5, 2)
+
+    def loss_ref(q_, k_, v_, t_):
+        return jnp.sum(pa._xla_attention(q_, k_, v_, t_, 512, d**-0.5) * g)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for name, a, b_ in zip(("dq", "dk", "dv", "dtable"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_clamp_tile_bounds_padding():
+    """Auto batch tiles must never exceed the next power of two >= the
+    actual batch: a VMEM budget can propose tile 512 at b=2 (n=17),
+    which would pad the kernel grid with 99% zero rows of pure wasted
+    compute."""
+    from speech_enhancement_tpu.ops.pallas_attention import (
+        _auto_batch_tile_bwd,
+        _clamp_tile,
+    )
+
+    assert _clamp_tile(512, 2) == 2
+    assert _clamp_tile(512, 3) == 4
+    assert _clamp_tile(8, 100) == 8   # budget still caps large batches
+    assert _clamp_tile(16, 1) == 1
+    # the review's concrete case: b=2, n=17 gradients no longer pad x256
+    assert _auto_batch_tile_bwd(17, 2) >= 512  # unclamped proposal
+    assert _clamp_tile(_auto_batch_tile_bwd(17, 2), 2) == 2
+
+
 def test_fused_attention_module_equivalence(rng):
     """ShawAttention(fused=True) == ShawAttention(fused=False) with the
     same params."""
