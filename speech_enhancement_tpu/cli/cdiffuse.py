@@ -71,7 +71,9 @@ def main(argv=None):
     crop_len = PARAMS["crop_mel_frames"] * PARAMS["hop_samples"]
     audio = jnp.zeros((1, crop_len))
     cond = jnp.zeros((1, crop_len // PARAMS["hop_samples"], PARAMS["n_specs"]))
-    variables = model.init(
+    # jitted init: un-jitted flax init dispatches op-by-op (minutes over
+    # this host's TPU tunnel)
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(args.seed)}, audio, cond, jnp.array([0])
     )
     tx = optax.adam(args.lr)

@@ -60,8 +60,9 @@ def load_model(model_dir: str, params=None):
     crop_len = 160 * p["hop_samples"]
     audio = jnp.zeros((1, crop_len))
     cond = jnp.zeros((1, 160, p["n_specs"]))
-    variables = model.init({"params": jax.random.PRNGKey(0)}, audio, cond,
-                           jnp.array([0]))
+    # jitted init (template only — weights come from the checkpoint)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, audio,
+                                    cond, jnp.array([0]))
     tx = optax.adam(2e-4)
     template = ModuleState(
         params=variables["params"],

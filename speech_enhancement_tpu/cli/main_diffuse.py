@@ -105,14 +105,16 @@ def build_model(args, config):
 def init_state(args, config, model, tx, crop_len):
     rngs = {"params": jax.random.PRNGKey(args.seed or 0),
             "dropout": jax.random.PRNGKey(1)}
+    # jitted inits: un-jitted flax init dispatches op-by-op (minutes over
+    # this host's TPU tunnel)
     if args.arch == "diffuse":
         audio = jnp.zeros((1, crop_len))
         cond = jnp.zeros((1, crop_len // config.HOP_SAMPLES, config.N_SPECS))
-        variables = model.init(rngs, audio, cond, jnp.array([0]))
+        variables = jax.jit(model.init)(rngs, audio, cond, jnp.array([0]))
     else:
         spec = compressed_stft(jnp.zeros((1, crop_len)), config.N_FFT,
                                config.HOP_SAMPLES)
-        variables = model.init(rngs, spec, spec, jnp.array([0.0]))
+        variables = jax.jit(model.init)(rngs, spec, spec, jnp.array([0.0]))
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
     return ModuleState(params=params, extra=extra, opt_state=tx.init(params))

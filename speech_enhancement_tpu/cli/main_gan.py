@@ -213,9 +213,12 @@ def main(argv=None):
                              args.momentum, args.weight_decay, args.max_norm)
     disc_tx = build_optimizer(args.optimizer, disc_sched, probe.disc.params,
                               args.momentum, args.weight_decay, args.max_norm)
-    state = create_gan_state(
-        jax.random.PRNGKey(args.seed or 0), gen_model, disc_model,
-        gen_tx, disc_tx, length=crop_len,
+    # reuse the probe's (identically-seeded) params — re-initializing
+    # both models just to swap the optimizer would pay two more full
+    # inits at startup; only the optimizer states need rebuilding
+    state = probe.replace(
+        gen=probe.gen.replace(opt_state=gen_tx.init(probe.gen.params)),
+        disc=probe.disc.replace(opt_state=disc_tx.init(probe.disc.params)),
     )
     del probe
 

@@ -35,6 +35,7 @@ __all__ = [
     "power_uncompress",
     "compressed_stft",
     "uncompressed_istft",
+    "batch_stft",
     "normalize_batch",
     "disassemble_spectrogram",
     "pack_spec_channels",
@@ -189,26 +190,37 @@ def power_compress(spec: jnp.ndarray, comp_type: str | None = "pow") -> jnp.ndar
     """
     if comp_type not in ("pow", "log"):
         return spec
-    mag = jnp.abs(spec)
-    if comp_type == "pow":
-        new_mag = mag**0.3
-    else:
-        new_mag = jnp.log1p(mag)
-    scale = jnp.where(mag > 0.0, new_mag / jnp.where(mag > 0.0, mag, 1.0), 0.0)
-    return spec * scale
+    return spec * _mag_rescale(spec, 0.3 if comp_type == "pow" else "log1p")
 
 
 def power_uncompress(spec: jnp.ndarray, comp_type: str | None = "pow") -> jnp.ndarray:
     """Inverse of :func:`power_compress` (function.py:636-645)."""
     if comp_type not in ("pow", "log"):
         return spec
-    mag = jnp.abs(spec)
-    if comp_type == "pow":
-        new_mag = mag ** (1.0 / 0.3)
+    return spec * _mag_rescale(spec, 1.0 / 0.3 if comp_type == "pow"
+                               else "expm1")
+
+
+def _mag_rescale(spec: jnp.ndarray, f) -> jnp.ndarray:
+    """``f(|spec|) / |spec|`` with 0 at zero bins, safe in BOTH
+    directions of AD.  The naive double-where guards only the division:
+    (a) d/dm(m^0.3) = inf at m=0, and the masked where's ZERO cotangent
+    times that inf is NaN; (b) the vjp of abs at a complex zero is
+    0/0 = NaN regardless of the cotangent.  So the abs itself must see a
+    guarded operand — zero bins are replaced by 1 before any
+    gradient-carrying op, and only the (gradient-free) predicate reads
+    the raw magnitude.  power_uncompress sits on every train step's
+    gradient path (est spec -> istft -> losses), so an exactly-zero
+    estimated bin would otherwise silently NaN the whole update."""
+    nz = jax.lax.stop_gradient(jnp.abs(spec)) > 0.0
+    safe_mag = jnp.abs(jnp.where(nz, spec, 1.0))
+    if f == "log1p":
+        new_mag = jnp.log1p(safe_mag)
+    elif f == "expm1":
+        new_mag = jnp.expm1(safe_mag)
     else:
-        new_mag = jnp.expm1(mag)
-    scale = jnp.where(mag > 0.0, new_mag / jnp.where(mag > 0.0, mag, 1.0), 0.0)
-    return spec * scale
+        new_mag = safe_mag**f
+    return jnp.where(nz, new_mag / safe_mag, 0.0)
 
 
 def compressed_stft(
@@ -257,8 +269,19 @@ def batch_stft(clean: jnp.ndarray, noisy: jnp.ndarray, n_fft: int = 400,
 
 def normalize_batch(clean: jnp.ndarray, noisy: jnp.ndarray):
     """Per-utterance RMS gain c = sqrt(L / sum(noisy^2)) applied to both
-    signals (function.py:647-659).  Returns (clean*c, noisy*c, c)."""
-    c = jnp.sqrt(noisy.shape[-1] / jnp.sum(noisy**2.0, axis=-1, keepdims=True))
+    signals (function.py:647-659).  Returns (clean*c, noisy*c, c).
+
+    A digitally-silent utterance gets c = 1 instead of the reference's
+    inf (which would NaN the whole output): real serving batches contain
+    all-zero files, and Enhancer must return finite audio for them.  For
+    any non-silent input the math is bit-identical to the reference."""
+    energy = jnp.sum(noisy**2.0, axis=-1, keepdims=True)
+    nz = energy > 0.0
+    c = jnp.where(
+        nz,
+        jnp.sqrt(noisy.shape[-1] / jnp.where(nz, energy, 1.0)),
+        1.0,
+    )
     return clean * c, noisy * c, c
 
 

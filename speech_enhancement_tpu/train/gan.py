@@ -30,8 +30,8 @@ import numpy as np
 import optax
 
 from speech_enhancement_tpu.ops import (
+    batch_stft,
     compressed_stft,
-    normalize_batch,
     uncompressed_istft,
 )
 from speech_enhancement_tpu.train.state import GanTrainState, ModuleState
@@ -48,16 +48,21 @@ def create_gan_state(
     length: int = 16000,
 ) -> GanTrainState:
     """Initialize generator + discriminator states (main_gan.py:145-148
-    model construction with kaiming init, :191-192 two optimizers)."""
+    model construction with kaiming init, :191-192 two optimizers).
+
+    Both inits are jitted: un-jitted flax init dispatches op-by-op,
+    which over this host's TPU tunnel costs minutes per model (the
+    jitted version is one compile, served from the persistent cache on
+    every later startup)."""
     r_gen, r_disc, r_drop = jax.random.split(rng, 3)
     spec = compressed_stft(jnp.zeros((1, length)), n_fft, hop)
-    gen_vars = gen_model.init(
-        {"params": r_gen, "dropout": r_drop}, spec, deterministic=True
-    )
+    gen_vars = jax.jit(
+        lambda rngs, s: gen_model.init(rngs, s, deterministic=True)
+    )({"params": r_gen, "dropout": r_drop}, spec)
     mag = jnp.abs(spec)
-    disc_vars = disc_model.init(
-        {"params": r_disc, "dropout": r_drop}, mag, mag
-    )
+    disc_vars = jax.jit(
+        lambda rngs, m: disc_model.init(rngs, m, m)
+    )({"params": r_disc, "dropout": r_drop}, mag)
     gen = ModuleState(
         params=gen_vars["params"],
         extra={k: v for k, v in gen_vars.items() if k != "params"},
@@ -121,9 +126,12 @@ def _generator_losses(
             x.reshape(x.shape[0], -1), axis=1)
     else:
         mean = jnp.mean
-    clean, noisy, _ = normalize_batch(clean, noisy)
-    noisy_spec = compressed_stft(noisy, n_fft, hop, comp_type="pow")
-    clean_spec = compressed_stft(clean, n_fft, hop, comp_type="pow")
+    # the reference's featurization bundle — ONE shared implementation
+    # (ops/stft.batch_stft) so the loss-side and any other caller cannot
+    # drift apart
+    clean, noisy, clean_spec, noisy_spec, _ = batch_stft(
+        clean, noisy, n_fft, hop
+    )
 
     if compute_dtype is not None:
         # no complex bf16 dtype exists: feed the (re, im) pair form

@@ -76,5 +76,14 @@ def latest_checkpoint(path: str) -> str | None:
     p = Path(path)
     if not p.exists():
         return None
-    cands = sorted(d for d in os.listdir(p) if d.startswith("checkpoint_"))
+    # sort NUMERICALLY: step-named checkpoints (learner saves by step,
+    # :04d) exceed 9999 in long runs, and lexicographic order would then
+    # put checkpoint_10500 before checkpoint_9500 — `--resume auto`
+    # would silently resume thousands of steps back
+    cands = sorted(
+        (d for d in os.listdir(p)
+         if d.startswith("checkpoint_")
+         and d.split("_", 1)[1].isdigit()),
+        key=lambda d: int(d.split("_", 1)[1]),
+    )
     return str(p / cands[-1]) if cands else None

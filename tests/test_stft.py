@@ -104,6 +104,53 @@ def test_normalize_batch(rng):
     )
 
 
+def test_normalize_batch_silent_utterance_is_finite(rng):
+    """A digitally-silent utterance gets gain c=1 (finite output, not
+    the reference's inf -> all-NaN): real serving batches contain
+    all-zero files.  Non-silent rows are bit-identical to the unguarded
+    math."""
+    clean = rng.standard_normal((2, 4000)).astype(np.float32)
+    noisy = np.stack([
+        (2.0 * rng.standard_normal(4000)).astype(np.float32),
+        np.zeros(4000, np.float32),
+    ])
+    c_out, n_out, c = normalize_batch(jnp.asarray(clean), jnp.asarray(noisy))
+    assert np.all(np.isfinite(np.asarray(c_out)))
+    assert np.all(np.isfinite(np.asarray(n_out)))
+    np.testing.assert_allclose(np.asarray(c)[1], 1.0)
+    # the non-silent row keeps exact reference semantics
+    want = np.sqrt(4000 / np.sum(noisy[0] ** 2))
+    np.testing.assert_allclose(np.asarray(c)[0, 0], want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("comp_type", ["pow", "log"])
+def test_compress_gradients_finite_at_zero_bins(rng, comp_type):
+    """Exactly-zero spectrogram bins must not NaN the gradient: the vjp
+    of abs at a complex zero is 0/0, and d/dm(m^0.3) is inf at m=0 — the
+    naive double-where guards only the primal division.  Both directions
+    sit on the train-step gradient path (est spec -> istft, est audio ->
+    re-featurized consistency loss), so one zero estimated bin would
+    silently NaN the whole update."""
+    from speech_enhancement_tpu.ops import power_compress, power_uncompress
+
+    re = rng.standard_normal((3, 5)).astype(np.float32)
+    im = rng.standard_normal((3, 5)).astype(np.float32)
+    re[0, :2] = im[0, :2] = 0.0  # exact complex zeros
+    re[1, 3] = im[1, 3] = 0.0
+
+    for f in (power_compress, power_uncompress):
+        def loss(r, i):
+            out = f(jax.lax.complex(r, i), comp_type)
+            return jnp.sum(jnp.real(out) ** 2 + jnp.imag(out) ** 2)
+
+        gr, gi = jax.grad(loss, argnums=(0, 1))(jnp.asarray(re),
+                                                jnp.asarray(im))
+        assert np.all(np.isfinite(np.asarray(gr))), f.__name__
+        assert np.all(np.isfinite(np.asarray(gi))), f.__name__
+        # nonzero bins still carry real gradient
+        assert float(jnp.max(jnp.abs(gr))) > 0
+
+
 def test_istft_differentiable(rng):
     """SCP consistency losses backprop through istft->stft (function.py:231-254)."""
     x = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))

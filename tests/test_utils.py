@@ -58,6 +58,18 @@ def test_checkpoint_roundtrip_and_best(tmp_path):
     np.testing.assert_array_equal(np.asarray(v["w"]), np.ones((2,)))
 
 
+def test_latest_checkpoint_sorts_numerically(tmp_path):
+    """Step-named checkpoints exceed 9999 in long runs (the learner
+    saves by STEP with :04d padding); lexicographic order puts
+    checkpoint_10500 before checkpoint_9500, making `--resume auto`
+    silently resume thousands of steps back."""
+    for name in ("checkpoint_9500", "checkpoint_10500", "checkpoint_0002",
+                 "model_best", "checkpoint_tmp"):  # non-numeric: ignored
+        os.makedirs(os.path.join(str(tmp_path), name))
+    got = latest_checkpoint(str(tmp_path))
+    assert got.endswith("checkpoint_10500"), got
+
+
 def test_preemption_guard():
     guard = PreemptionGuard()
     assert not guard.should_stop
