@@ -20,6 +20,7 @@ from speech_enhancement_tpu.data import Collator, DataLoader, VoicebankDataset
 from speech_enhancement_tpu.models import DiffuSE, DiffusionTSCNet
 from speech_enhancement_tpu.ops import compressed_stft
 from speech_enhancement_tpu.parallel import (
+    barrier,
     data_parallel_mesh,
     init_distributed,
     replicate_state,
@@ -164,7 +165,8 @@ def main(argv=None):
     probe = init_state(args, config, model, optax.sgd(1e-3), crop_len)
     tx = build_optimizer(args.optimizer, lr, probe.params, args.momentum,
                          args.weight_decay, args.max_norm)
-    state = init_state(args, config, model, tx, crop_len)
+    # reuse the probe's params — only the optimizer state needs rebuilding
+    state = probe.replace(opt_state=tx.init(probe.params))
     del probe
 
     best_loss = 1e8
@@ -178,6 +180,9 @@ def main(argv=None):
             logger.info(f"=> resumed from {path}")
 
     state = replicate_state(mesh, state)
+    # align processes after the compile-heavy init/resume, before the
+    # first collective (replaces the reference's post-init dist.barrier)
+    barrier("post_init")
     rng = jax.random.PRNGKey((args.seed or 0) + 2)
     guard = PreemptionGuard()
 

@@ -26,6 +26,7 @@ from speech_enhancement_tpu.data import Collator, DataLoader, VoicebankDataset
 from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
 from speech_enhancement_tpu.models import Discriminator, TSCNet
 from speech_enhancement_tpu.parallel import (
+    barrier,
     data_parallel_mesh,
     init_distributed,
     replicate_state,
@@ -235,6 +236,10 @@ def main(argv=None):
             logger.info(f"=> resumed from {path} (epoch {start_epoch})")
 
     state = replicate_state(mesh, state)
+    # align processes after the compile-heavy init/resume and before the
+    # first collective (replaces dist.barrier(), main_gan.py:142; see
+    # parallel.barrier for why skew at the first all-reduce is fatal)
+    barrier("post_init")
     rng = jax.random.PRNGKey((args.seed or 0) + 1)
     loss_weights = tuple(config.LOSS_WEIGHTS)
 

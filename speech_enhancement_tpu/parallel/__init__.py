@@ -1,4 +1,5 @@
 from speech_enhancement_tpu.parallel.mesh import (
+    barrier,
     batch_sharding,
     data_parallel_mesh,
     init_distributed,
@@ -8,6 +9,7 @@ from speech_enhancement_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "barrier",
     "batch_sharding",
     "data_parallel_mesh",
     "init_distributed",

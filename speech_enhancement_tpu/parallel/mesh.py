@@ -34,6 +34,24 @@ def init_distributed(coordinator: str | None = None,
     )
 
 
+def barrier(name: str = "barrier", timeout_ms: int = 600_000) -> None:
+    """Cross-process sync point via the coordination service (replaces
+    dist.barrier(), main_gan.py:142).  No-op single-process.
+
+    Use it after per-process compile-heavy setup (model init, checkpoint
+    restore) and BEFORE the first collective executes: the CPU Gloo
+    backend's clique initialization has a hard ~30 s rendezvous timeout,
+    so compile-time skew between processes at the first all-reduce
+    aborts the run.  The coordination-service barrier has no such limit
+    and does not itself need the collective clique."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # single-process: nothing to sync
+        return
+    client.wait_at_barrier(name, timeout_ms)
+
+
 def data_parallel_mesh(n_devices: int | None = None,
                        axis_name: str = "data") -> Mesh:
     """1-D mesh over all (or the first n) devices."""

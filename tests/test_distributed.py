@@ -90,6 +90,14 @@ sh = NamedSharding(mesh, P("data"))
 lo, hi = pid * 4, (pid + 1) * 4
 g = lambda x: jax.make_array_from_process_local_data(sh, x[lo:hi], x.shape)
 
+# Align the two processes BEFORE the first collective executes: the
+# jitted create_gan_state compiles in build() take minutes each on this
+# host and their duration skews the processes, while Gloo context
+# initialization has a hard 30 s rendezvous timeout (see
+# parallel.barrier — the production CLIs do the same post-init).
+from speech_enhancement_tpu.parallel import barrier
+barrier("local_compiles_done")
+
 gen_loss, disc_loss, checksum = run_steps(
     gen, disc, gen_tx, disc_tx, state,
     g(clean), g(noisy), g(q_est), g(q_clean), g(q_noisy),
