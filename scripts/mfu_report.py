@@ -145,8 +145,12 @@ def train_report(steps: int, bf16: bool):
                              optax.sgd(1e-3), optax.sgd(1e-3), length=length)
     gen_tx = build_optimizer("adamw", 5e-4, probe.gen.params)
     disc_tx = build_optimizer("adamw", 1e-3, probe.disc.params)
-    state = create_gan_state(jax.random.PRNGKey(0), gen, disc, gen_tx,
-                             disc_tx, length=length)
+    # reuse the probe's params — a second create_gan_state would pay two
+    # more full jitted inits just to swap optimizers
+    state = probe.replace(
+        gen=probe.gen.replace(opt_state=gen_tx.init(probe.gen.params)),
+        disc=probe.disc.replace(opt_state=disc_tx.init(probe.disc.params)),
+    )
 
     import functools
 

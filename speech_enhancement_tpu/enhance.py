@@ -166,8 +166,10 @@ class Enhancer:
         return fn
 
     def _pad_to_mesh(self, batch: np.ndarray) -> np.ndarray:
-        """Repeat the last row so B divides the mesh size (zero rows would
-        NaN through normalize_batch); no-op without a mesh."""
+        """Repeat the last row so B divides the mesh size; no-op without
+        a mesh.  (Zero-row padding would also be safe — normalize_batch
+        guards silent rows with gain c=1 — but repeating keeps the pad
+        rows' compute statistics realistic.)"""
         if self.mesh is None:
             return batch
         n_dev = self.mesh.devices.size

@@ -77,7 +77,20 @@ class DiffuSELearner:
     # -- training loop (learner.py:123-168) -------------------------------
     def train(self, max_steps: int | None = None, rng_seed: int = 0):
         rng = jax.random.PRNGKey(rng_seed)
+        # Advance the loader's epoch on every pass: DataLoader draws ALL
+        # crop/shuffle randomness from (seed, epoch, shard, batch), so a
+        # never-advancing epoch would feed byte-identical batches — the
+        # same fixed crop of every utterance — for the whole run (the
+        # reference reshuffles per pass via its sampler).  Derive the
+        # starting pass from the restored step so resume does not replay
+        # pass 0.
+        passes = 0
+        n_batches = getattr(self.dataset, "__len__", lambda: 0)()
+        if n_batches:
+            passes = self.step // n_batches
         while True:
+            if hasattr(self.dataset, "set_epoch"):
+                self.dataset.set_epoch(passes)
             for batch in self.dataset:
                 if max_steps is not None and self.step >= max_steps:
                     return self.state
@@ -102,6 +115,7 @@ class DiffuSELearner:
                                         float(grad_norm), batch)
                 self.step += 1
             self.save_to_checkpoint()
+            passes += 1
 
     def _write_summary(self, loss: float, step_time: float,
                        grad_norm: float = 0.0, batch=None) -> None:

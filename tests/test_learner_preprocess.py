@@ -69,3 +69,53 @@ def test_cdiffuse_cli_short_run(wav_dir, tmp_path, monkeypatch):
     ])
     assert (model_dir / "weights").exists()
     assert (model_dir / "summary.jsonl").exists()
+
+
+def test_learner_advances_loader_epoch(tmp_path, monkeypatch):
+    """The learner must set_epoch(pass) on every dataset pass: DataLoader
+    draws ALL crop/shuffle randomness from (seed, epoch, shard, batch),
+    so a never-advancing epoch feeds byte-identical batches — the same
+    fixed crop of every utterance — for the whole run.  Resume derives
+    the starting pass from the restored step."""
+    import types
+
+    from speech_enhancement_tpu.data.voicebank import Batch
+    from speech_enhancement_tpu.train import learner as learner_mod
+
+    calls = []
+
+    class FakeLoader:
+        def set_epoch(self, e):
+            calls.append(e)
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            a = np.zeros((1, 100), np.float32)
+            for _ in range(2):
+                yield Batch(audio=a, noisy=a, pesq_clean=None,
+                            pesq_noisy=None)
+
+    monkeypatch.setattr(
+        learner_mod, "diffuse_step",
+        lambda state, *a, **k: (state, np.float32(0.1), np.float32(0.0)),
+    )
+    mk = lambda: learner_mod.DiffuSELearner(  # noqa: E731
+        str(tmp_path), model=None,
+        state=types.SimpleNamespace(step=0), tx=None,
+        dataset=FakeLoader(), noise_schedule=None, criterion=None,
+        summary_every=10_000,
+    )
+    lr = mk()
+    monkeypatch.setattr(lr, "save_to_checkpoint", lambda *a, **k: None)
+    lr.train(max_steps=5)
+    assert calls == [0, 1, 2], calls
+
+    # resumed at step 4 with 2 batches/pass -> starts at pass 2, not 0
+    calls.clear()
+    lr2 = mk()
+    monkeypatch.setattr(lr2, "save_to_checkpoint", lambda *a, **k: None)
+    lr2.step = 4
+    lr2.train(max_steps=5)
+    assert calls[0] == 2, calls
