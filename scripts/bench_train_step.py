@@ -119,8 +119,11 @@ def main() -> None:
     )
     gen_tx = build_optimizer("adamw", 5e-4, probe.gen.params)
     disc_tx = build_optimizer("adamw", 1e-3, probe.disc.params)
-    state0 = create_gan_state(
-        jax.random.PRNGKey(0), gen, disc, gen_tx, disc_tx, length=length
+    # reuse the probe's params (identical seed) — a second
+    # create_gan_state would pay two more full jitted inits
+    state0 = probe.replace(
+        gen=probe.gen.replace(opt_state=gen_tx.init(probe.gen.params)),
+        disc=probe.disc.replace(opt_state=disc_tx.init(probe.disc.params)),
     )
 
     rng = np.random.default_rng(0)

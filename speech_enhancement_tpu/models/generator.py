@@ -170,7 +170,18 @@ def tscb_stack(channels: int, depth: int = 4, dropout: float = 0.2,
     of saving depth x attention logits (without remat the SCP train step
     needs ~26 GB of HBM at batch 8 — over the v5e's 16 GB).  Params carry
     a leading [depth] axis."""
-    cell = nn.remat(_TSCBScanCell, prevent_cse=False)
+    import jax
+
+    # dots-saveable policy: the backward re-uses the forward's projection /
+    # feed-forward matmul outputs (un-batched dots) instead of recomputing
+    # them, while attention logits (batched dots) stay unsaved so peak HBM
+    # keeps the remat bound.  Measured on v5e (batch 8, bf16+fused, async,
+    # same-session controls): 375.4 vs 404-424 ms/step at 1 s crops,
+    # 720.3 vs 737-752 at 2 s — wins at every crop, no memory regression.
+    cell = nn.remat(
+        _TSCBScanCell, prevent_cse=False,
+        policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    )
     return nn.scan(
         cell,
         variable_axes={"params": 0, "batch_stats": 0},
