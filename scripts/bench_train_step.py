@@ -81,6 +81,10 @@ def main() -> None:
                    help="bf16 generator fwd/bwd (compute_dtype)")
     p.add_argument("--gen-only", action="store_true",
                    help="skip the discriminator phase (cost split)")
+    p.add_argument("--stub-labels", action="store_true",
+                   help="replace host PESQ q_est labels with precomputed "
+                        "random vectors (cost split: isolates the host "
+                        "label wait from the device phases)")
     p.add_argument("--arch", default="scp", choices=["scp", "cmgan"],
                    help="scp = 3-gradient self-correcting disc step")
     p.add_argument("--modes", nargs="+", default=None,
@@ -137,12 +141,25 @@ def main() -> None:
         (batch_pesq_raw(batches[0][0], batches[0][1]) - 1.0) / 3.5, jnp.float32
     )
 
-    def q_est_of(clean, aux):
-        est = np.asarray(aux.est_audio)
-        return jnp.asarray(
-            (batch_pesq_raw(clean[:, : est.shape[1]], est) - 1.0) / 3.5,
-            jnp.float32,
-        )
+    if args.stub_labels:
+        _stub = [jnp.asarray(rng.uniform(0.2, 0.9, args.batch)
+                             .astype(np.float32)) for _ in range(n_total)]
+        import itertools
+
+        _stub_i = itertools.count()
+
+        def q_est_of(clean, aux):
+            # still fetch est_audio (the device->host read the real path
+            # pays) but skip the PESQ computation itself
+            np.asarray(aux.est_audio)
+            return _stub[next(_stub_i) % n_total]
+    else:
+        def q_est_of(clean, aux):
+            est = np.asarray(aux.est_audio)
+            return jnp.asarray(
+                (batch_pesq_raw(clean[:, : est.shape[1]], est) - 1.0) / 3.5,
+                jnp.float32,
+            )
 
     results = {}
 
@@ -207,6 +224,49 @@ def main() -> None:
         pool.shutdown()
         return time.perf_counter() - t0
 
+    # ---- two-phase, two-deep pipeline: disc update lags TWO batches so
+    # the host PESQ labels get a full gen-step of device time to finish
+    # off the critical path (strict alternation serializes
+    # gen -> est transfer -> host PESQ -> disc -> next gen; see
+    # docs/TRAIN_BENCH.md round-4b cost split).  Semantics deviation:
+    # the gen step's gan_loss sees disc params two updates stale.
+    def run_pipelined():
+        from collections import deque
+
+        state, key = state0, jax.random.PRNGKey(1)
+        pool = ThreadPoolExecutor(max_workers=2)
+        pending = deque()
+        t0 = None
+        for i, (clean, noisy) in enumerate(batches):
+            if i == args.warmup:
+                _fence(state.gen.params)
+                t0 = time.perf_counter()
+            key, kg, kd = jax.random.split(key, 3)
+            if len(pending) == 2:
+                p_aux, fut, p_kd = pending.popleft()
+                state, _ = gan_discriminator_step(
+                    state, p_aux, fut.result(), q_clean, q_noisy, p_kd,
+                    disc_model=disc, arch=args.arch, criterion=l2_loss,
+                    disc_tx=disc_tx,
+                )
+            state, aux = gan_generator_step(
+                state, jnp.asarray(clean), jnp.asarray(noisy), kg,
+                gen_model=gen, disc_model=disc, arch=args.arch,
+                criterion=l2_loss, gan_active=True, gen_tx=gen_tx,
+                compute_dtype=compute_dtype,
+            )
+            pending.append((aux, pool.submit(q_est_of, clean, aux), kd))
+        while pending:
+            p_aux, fut, p_kd = pending.popleft()
+            state, _ = gan_discriminator_step(
+                state, p_aux, fut.result(), q_clean, q_noisy, p_kd,
+                disc_model=disc, arch=args.arch, criterion=l2_loss,
+                disc_tx=disc_tx,
+            )
+        _fence(state.disc.params)
+        pool.shutdown()
+        return time.perf_counter() - t0
+
     # ---- fused single dispatch
     def run_fused():
         step = make_fused_gan_train_step(
@@ -228,7 +288,8 @@ def main() -> None:
         return time.perf_counter() - t0
 
     errors = {}
-    mode_fns = {"sync": run_sync, "async": run_async, "fused": run_fused}
+    mode_fns = {"sync": run_sync, "async": run_async,
+                "pipelined": run_pipelined, "fused": run_fused}
     selected = args.modes or list(mode_fns)
     for name in selected:
         fn = mode_fns[name]

@@ -115,6 +115,11 @@ def main() -> int:
                          "(reference core/function.py:231-254, 292-305); "
                          "per-epoch metrics also land in <root>/ab_<arch>."
                          "json for scripts-side comparison tables")
+    ap.add_argument("--step-mode", default=None,
+                    choices=["two-phase", "async", "pipelined", "fused"],
+                    help="main_gan --step-mode passthrough: quality A/B of "
+                         "the two-deep pipelined dispatch (disc updates lag "
+                         "two batches) against the reference-faithful async")
     args = ap.parse_args()
 
     rng = np.random.default_rng(7)
@@ -144,7 +149,8 @@ def main() -> int:
         "--lr", "5e-4", "--criterion", "mse", "--gen-first",
         "--seed", "3", "-j", "4", "-p", "20",
         "--precision", args.precision,
-    ] + (["--fused-attention"] if args.fused_attention else []) + opts)
+    ] + (["--fused-attention"] if args.fused_attention else [])
+      + (["--step-mode", args.step_mode] if args.step_mode else []) + opts)
 
     # noisy baseline on the test set
     import glob as _glob
@@ -207,10 +213,12 @@ def main() -> int:
     # machine-readable per-arch record for the A/B comparison table
     import json as _json
 
-    with open(os.path.join(args.root, f"ab_{args.arch}.json"), "w") as f:
+    tag = f"_{args.step_mode}" if args.step_mode else ""
+    with open(os.path.join(args.root, f"ab_{args.arch}{tag}.json"), "w") as f:
         _json.dump({
             "arch": args.arch, "precision": args.precision,
             "fused_attention": bool(args.fused_attention),
+            "step_mode": args.step_mode,
             "epochs": args.epochs, "seed": 3,
             "noisy": [float(v) for v in base],
             "per_epoch": {

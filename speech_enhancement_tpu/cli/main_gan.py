@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -93,14 +94,20 @@ def parse_option(argv=None):
     )
     parser.add_argument(
         "--step-mode", default=None,
-        choices=["two-phase", "async", "fused"],
+        choices=["two-phase", "async", "pipelined", "fused"],
         help="train-step dispatch: two jitted phases with synchronous host "
              "PESQ labels ('two-phase'), the one-deep label pipeline "
-             "('async': discriminator update lags one step; hides the host "
-             "PESQ cost), or one fused jit with io_callback labels "
-             "('fused'; needs a backend with host callbacks — "
-             "axon-tunneled chips lack them).  Default: async — fastest "
-             "measured on v5e round 3 (docs/TRAIN_BENCH.md)",
+             "('async': discriminator update lags one step; reference "
+             "alternation still serializes gen -> host PESQ -> disc), the "
+             "two-deep pipeline ('pipelined': discriminator update lags "
+             "TWO steps, taking the host PESQ labels fully off the "
+             "critical path — 1.7x over async on v5e, at the cost of the "
+             "generator's gan_loss seeing disc params one extra update "
+             "stale; quality-checked on the proxy corpus, "
+             "docs/TRAIN_BENCH.md), or one fused jit with io_callback "
+             "labels ('fused'; needs a backend with host callbacks — "
+             "axon-tunneled chips lack them).  Default: async — the "
+             "fastest reference-faithful mode",
     )
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
@@ -131,7 +138,12 @@ def parse_option(argv=None):
     elif args.async_disc and args.step_mode != "async":
         parser.error("--async-disc conflicts with --step-mode "
                      f"{args.step_mode}")
-    args.async_disc = args.step_mode == "async"
+    args.async_disc = args.step_mode in ("async", "pipelined")
+    # deferred-disc-update queue depth: 1 hides PESQ behind the next gen
+    # DISPATCH only (alternation still waits on the labels); 2 gives the
+    # host a full gen-step of device time so fut.result() returns
+    # immediately (docs/TRAIN_BENCH.md round-4b cost split)
+    args.disc_lag = {"async": 1, "pipelined": 2}.get(args.step_mode, 0)
     config = get_config(args)
     return args, config
 
@@ -245,7 +257,8 @@ def main(argv=None):
 
     from concurrent.futures import ThreadPoolExecutor
 
-    label_pool = ThreadPoolExecutor(max_workers=1)
+    # pipelined mode keeps two label jobs in flight (disc lag 2)
+    label_pool = ThreadPoolExecutor(max_workers=max(1, args.disc_lag))
     guard = PreemptionGuard()
 
     fused_steps = {}
@@ -286,7 +299,10 @@ def main(argv=None):
             AverageMeter(), AverageMeter(), AverageMeter(),
         )
         t_end = time.time()
-        pending = None  # (aux, q_est future, q_clean, q_noisy, rng, b)
+        # deferred disc updates: each entry is
+        # (aux, q_est future, q_clean, q_noisy, rng, b); async keeps one,
+        # pipelined keeps two (labels get a full gen-step to finish)
+        pending = deque()
         for idx, batch in enumerate(train_loader):
             if batch.audio.shape[0] == 0:
                 continue
@@ -296,17 +312,17 @@ def main(argv=None):
             clean, noisy = shard_batch(mesh, batch.audio, batch.noisy)
             rng, step_rng, disc_rng = jax.random.split(rng, 3)
 
-            # apply the deferred discriminator update (its PESQ labels were
-            # computed while this generator step's inputs were loading)
-            if pending is not None:
-                p_aux, q_fut, q_c, q_n, p_rng, p_b = pending
+            # apply the oldest deferred discriminator update once the queue
+            # is full (its PESQ labels were computed while newer generator
+            # steps ran on the device)
+            if len(pending) >= args.disc_lag > 0:
+                p_aux, q_fut, q_c, q_n, p_rng, p_b = pending.popleft()
                 state, disc_loss = gan_discriminator_step(
                     state, p_aux, q_fut.result(), q_c, q_n, p_rng,
                     disc_model=disc_model, arch=args.arch,
                     criterion=criterion, disc_tx=disc_tx,
                 )
                 disc_meter.update(float(disc_loss), p_b)
-                pending = None
 
             if args.step_mode == "fused":
                 # single dispatch: generator update + io_callback PESQ
@@ -346,11 +362,11 @@ def main(argv=None):
                 q_clean = jnp.asarray(batch.pesq_clean)
                 q_noisy = jnp.asarray(batch.pesq_noisy)
                 if args.async_disc:
-                    pending = (
+                    pending.append((
                         aux,
                         label_pool.submit(compute_q_est, batch, aux),
                         q_clean, q_noisy, disc_rng, b,
-                    )
+                    ))
                 else:
                     q_est = compute_q_est(batch, aux)
                     state, disc_loss = gan_discriminator_step(
@@ -373,16 +389,16 @@ def main(argv=None):
                     f"discriminator loss {disc_meter}"
                 )
 
-        # flush a trailing deferred discriminator update
-        if pending is not None:
-            p_aux, q_fut, q_c, q_n, p_rng, p_b = pending
+        # flush the trailing deferred discriminator updates — every batch's
+        # disc update is applied exactly once per epoch regardless of lag
+        while pending:
+            p_aux, q_fut, q_c, q_n, p_rng, p_b = pending.popleft()
             state, disc_loss = gan_discriminator_step(
                 state, p_aux, q_fut.result(), q_c, q_n, p_rng,
                 disc_model=disc_model, arch=args.arch,
                 criterion=criterion, disc_tx=disc_tx,
             )
             disc_meter.update(float(disc_loss), p_b)
-            pending = None
 
         # ---- validation (function.py:346-451).  The reference validates
         # EVERY utterance (main_gan.py:287-298): ragged tail batches are

@@ -305,16 +305,15 @@ def _flat(tree) -> jnp.ndarray:
     return jnp.concatenate([jnp.ravel(x) for x in jax.tree_util.tree_leaves(tree)])
 
 
-def self_correcting_weights(grad_c, grad_e, grad_n):
-    """SCP-GAN's closed-form gradient-combination weights
-    (function.py:705-760), fully traced: flat-grad dot products + nested
-    jnp.where replacing the .item() branch logic."""
-    fc, fe, fn = _flat(grad_c), _flat(grad_e), _flat(grad_n)
-    EdotE = fe @ fe + 1e-14
-    NdotN = fn @ fn + 1e-14
-    CdotE = fc @ fe
-    CdotN = fc @ fn
-    EdotN = fe @ fn
+def _sc_weights_from_gram(gram: jnp.ndarray) -> jnp.ndarray:
+    """SCP-GAN weight algebra (function.py:705-760) from the 3x3 Gram
+    matrix of the flattened (grad_c, grad_e, grad_n) rows; nested
+    jnp.where replaces the .item() branch logic.  Returns [w_c, w_e, w_n]."""
+    CdotE = gram[0, 1]
+    CdotN = gram[0, 2]
+    EdotN = gram[1, 2]
+    EdotE = gram[1, 1] + 1e-14
+    NdotN = gram[2, 2] + 1e-14
 
     w_c = jnp.ones(())
     w_e = jnp.where(CdotE > 0, 1.0, -CdotE / EdotE)
@@ -324,7 +323,16 @@ def self_correcting_weights(grad_c, grad_e, grad_n):
     w_n = jnp.where(
         s > 0, 1.0, jnp.where(CdotE > 0, w_n_pos_branch, w_n_neg_branch)
     )
-    return w_c, w_e, w_n
+    return jnp.stack([w_c, w_e, w_n])
+
+
+def self_correcting_weights(grad_c, grad_e, grad_n):
+    """SCP-GAN's closed-form gradient-combination weights
+    (function.py:705-760), fully traced: flat-grad dot products + nested
+    jnp.where replacing the .item() branch logic."""
+    g = jnp.stack([_flat(grad_c), _flat(grad_e), _flat(grad_n)])
+    w = _sc_weights_from_gram(g @ g.T)
+    return w[0], w[1], w[2]
 
 
 @functools.partial(
@@ -366,24 +374,33 @@ def gan_discriminator_step(
         return criterion(d_apply(params, aux.clean_mag, aux.est_mag, r1), pesq_est)
 
     if arch in ("scp", "sc"):
-        def loss_c(params):
+        # the three loss terms ((clean,clean), (clean,est), (clean,noisy))
+        # are independent fwd/bwd passes over the same small conv stack —
+        # vmap them into ONE 3B-batch pass (in_axes=None on params makes
+        # every grad leaf come back with a leading [3] axis), then take the
+        # self-correcting weights from the 3x3 Gram matrix of the flattened
+        # grads.  Same algebra as three serial value_and_grads, one
+        # dispatch chain and 3x the conv batch for the MXU.
+        def loss_one(params, other_mag, label, drop_rng):
             return criterion(
-                d_apply(params, aux.clean_mag, aux.clean_mag, r2), pesq_clean
+                d_apply(params, aux.clean_mag, other_mag, drop_rng), label
             )
 
-        def loss_n(params):
-            return criterion(
-                d_apply(params, aux.clean_mag, aux.noisy_mag, r3), pesq_noisy
-            )
-
-        (lc, gc) = jax.value_and_grad(loss_c)(state.disc.params)
-        (le, ge) = jax.value_and_grad(loss_e)(state.disc.params)
-        (ln, gn) = jax.value_and_grad(loss_n)(state.disc.params)
-        w_c, w_e, w_n = self_correcting_weights(gc, ge, gn)
-        grads = jax.tree_util.tree_map(
-            lambda a, b, c: w_c * a + w_e * b + w_n * c, gc, ge, gn
+        others = jnp.stack([aux.clean_mag, aux.est_mag, aux.noisy_mag])
+        labels = jnp.stack([pesq_clean, pesq_est, pesq_noisy])
+        rngs3 = jnp.stack([r2, r1, r3])
+        losses, grads3 = jax.vmap(
+            jax.value_and_grad(loss_one), in_axes=(None, 0, 0, 0)
+        )(state.disc.params, others, labels, rngs3)
+        g = jnp.concatenate(
+            [x.reshape(3, -1) for x in jax.tree_util.tree_leaves(grads3)],
+            axis=1,
         )
-        disc_loss = w_c * lc + w_e * le + w_n * ln
+        w = _sc_weights_from_gram(g @ g.T)
+        grads = jax.tree_util.tree_map(
+            lambda x: jnp.tensordot(w, x, axes=1), grads3
+        )
+        disc_loss = jnp.dot(w, losses)
     else:
         ones = jnp.ones_like(pesq_est)
 

@@ -91,7 +91,10 @@ def test_main_gan_one_epoch_and_inference(tiny_dataset, monkeypatch):
     mg.main([
         "-a", "scp", "--cfg", cfg, "--output", str(out), "--epochs", "1",
         "--seed", "3", "-j", "2", "-p", "1", "--n-devices", "1",
-        "--async-disc",  # exercise the pipelined PESQ label path
+        # two-deep deferred-disc queue: with a tiny dataset most disc
+        # updates are applied by the end-of-epoch drain — covers the lag
+        # machinery shared with async (lag 1) plus the drain edge
+        "--step-mode", "pipelined",
         "--precision", "bf16",  # the fast AMP-analogue training mode
     ])
     ckpt = out / "scp" / "default" / "checkpoint_0000"
@@ -151,12 +154,17 @@ def test_step_mode_flag(tiny_dataset):
     root, cfg = tiny_dataset
     base = ["-a", "scp", "--cfg", cfg, "--output", str(root / "o")]
     args, _ = parse_option(base)
-    # async is the measured-fastest default (docs/TRAIN_BENCH.md round 3)
+    # async is the measured-fastest reference-faithful default
+    # (docs/TRAIN_BENCH.md)
     assert args.step_mode == "async" and args.async_disc
+    assert args.disc_lag == 1
     args, _ = parse_option(base + ["--step-mode", "fused"])
     assert args.step_mode == "fused" and not args.async_disc
+    assert args.disc_lag == 0
     args, _ = parse_option(base + ["--step-mode", "two-phase"])
-    assert not args.async_disc
+    assert not args.async_disc and args.disc_lag == 0
+    args, _ = parse_option(base + ["--step-mode", "pipelined"])
+    assert args.async_disc and args.disc_lag == 2
     args, _ = parse_option(base + ["--async-disc"])
     assert args.step_mode == "async"
     with pytest.raises(SystemExit):

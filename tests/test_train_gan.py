@@ -185,6 +185,66 @@ def test_self_correcting_weights_match_reference_algebra(seed):
     np.testing.assert_allclose([float(x) for x in got], want, rtol=1e-5)
 
 
+def test_vmapped_disc_step_matches_serial_three_grad(setup, rng):
+    """gan_discriminator_step batches the scp/sc arch's three loss terms
+    into one vmapped fwd/bwd; this pins equivalence with the serial
+    3x value_and_grad formulation (the reference's strictly sequential
+    backward passes, function.py:279-313): identical disc loss, params
+    equal to float reassociation tolerance."""
+    gen, disc, gen_tx, disc_tx, state = setup
+    clean, noisy = _batch(rng)
+    state1, aux = gan_generator_step(
+        state, clean, noisy, jax.random.PRNGKey(1),
+        gen_model=gen, disc_model=disc, arch="scp", criterion=l2_loss,
+        gan_active=True, gen_tx=gen_tx,
+    )
+    q_est = jnp.asarray(rng.uniform(0.2, 0.9, B).astype(np.float32))
+    q_clean = jnp.full((B,), (4.64 - 1) / 3.5, jnp.float32)
+    q_noisy = jnp.asarray(rng.uniform(0.1, 0.5, B).astype(np.float32))
+    key = jax.random.PRNGKey(2)
+
+    state2, disc_loss = gan_discriminator_step(
+        state1, aux, q_est, q_clean, q_noisy, key,
+        disc_model=disc, arch="scp", criterion=l2_loss, disc_tx=disc_tx,
+    )
+
+    # serial formulation, same rng assignment (r1=est, r2=clean, r3=noisy)
+    r1, r2, r3 = jax.random.split(key, 3)
+    spectral = state1.disc.extra["spectral"]
+
+    def d_apply(params, x, y, r):
+        return disc.apply(
+            {"params": params, "spectral": spectral}, x, y,
+            deterministic=False, rngs={"dropout": r},
+        ).reshape(-1)
+
+    lc, gc = jax.value_and_grad(
+        lambda p: l2_loss(d_apply(p, aux.clean_mag, aux.clean_mag, r2),
+                          q_clean))(state1.disc.params)
+    le, ge = jax.value_and_grad(
+        lambda p: l2_loss(d_apply(p, aux.clean_mag, aux.est_mag, r1),
+                          q_est))(state1.disc.params)
+    ln, gn = jax.value_and_grad(
+        lambda p: l2_loss(d_apply(p, aux.clean_mag, aux.noisy_mag, r3),
+                          q_noisy))(state1.disc.params)
+    w_c, w_e, w_n = self_correcting_weights(gc, ge, gn)
+    ref_loss = w_c * lc + w_e * le + w_n * ln
+    np.testing.assert_allclose(float(disc_loss), float(ref_loss), rtol=1e-5)
+
+    import optax
+
+    ref_grads = jax.tree_util.tree_map(
+        lambda a, b, c: w_c * a + w_e * b + w_n * c, gc, ge, gn
+    )
+    upd, _ = disc_tx.update(ref_grads, state1.disc.opt_state,
+                            state1.disc.params)
+    ref_params = optax.apply_updates(state1.disc.params, upd)
+    for got, want in zip(jax.tree_util.tree_leaves(state2.disc.params),
+                         jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-7)
+
+
 def test_fused_gan_train_step_single_dispatch(setup, rng):
     """make_fused_gan_train_step: one jitted call runs generator update,
     io_callback PESQ labels, and the self-correcting discriminator update."""
