@@ -106,8 +106,10 @@ def parse_option(argv=None):
              "stale; quality-checked on the proxy corpus, "
              "docs/TRAIN_BENCH.md), or one fused jit with io_callback "
              "labels ('fused'; needs a backend with host callbacks — "
-             "axon-tunneled chips lack them).  Default: async — the "
-             "fastest reference-faithful mode",
+             "axon-tunneled chips lack them).  Default: pipelined — the "
+             "fastest mode, quality-transparent on the proxy A/B "
+             "(per-epoch PESQ within 0.004 of async, "
+             "docs/quality_proxy_run.md)",
     )
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
@@ -131,10 +133,13 @@ def parse_option(argv=None):
     parser.add_argument("--process-id", default=None, type=int)
     args = parser.parse_args(argv)
     if args.step_mode is None:
-        # async is the fastest measured on v5e round 3 (the one-deep label
-        # pipeline hides the host PESQ cost — docs/TRAIN_BENCH.md);
-        # --async-disc stays as an explicit alias
-        args.step_mode = "async"
+        # pipelined is the fastest measured on v5e (208-233 ms/step at 1 s
+        # crops vs 358-375 async — the two-deep queue takes the host PESQ
+        # label wait fully off the critical path, docs/TRAIN_BENCH.md) and
+        # quality-transparent on the proxy A/B (per-epoch PESQ within
+        # 0.004 of async, docs/quality_proxy_run.md).  --async-disc stays
+        # as an explicit alias for the reference-faithful one-deep mode.
+        args.step_mode = "async" if args.async_disc else "pipelined"
     elif args.async_disc and args.step_mode != "async":
         parser.error("--async-disc conflicts with --step-mode "
                      f"{args.step_mode}")

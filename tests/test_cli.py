@@ -154,10 +154,10 @@ def test_step_mode_flag(tiny_dataset):
     root, cfg = tiny_dataset
     base = ["-a", "scp", "--cfg", cfg, "--output", str(root / "o")]
     args, _ = parse_option(base)
-    # async is the measured-fastest reference-faithful default
-    # (docs/TRAIN_BENCH.md)
-    assert args.step_mode == "async" and args.async_disc
-    assert args.disc_lag == 1
+    # pipelined is the measured-fastest default, quality-transparent on
+    # the proxy A/B (docs/TRAIN_BENCH.md, docs/quality_proxy_run.md)
+    assert args.step_mode == "pipelined" and args.async_disc
+    assert args.disc_lag == 2
     args, _ = parse_option(base + ["--step-mode", "fused"])
     assert args.step_mode == "fused" and not args.async_disc
     assert args.disc_lag == 0
@@ -166,7 +166,7 @@ def test_step_mode_flag(tiny_dataset):
     args, _ = parse_option(base + ["--step-mode", "pipelined"])
     assert args.async_disc and args.disc_lag == 2
     args, _ = parse_option(base + ["--async-disc"])
-    assert args.step_mode == "async"
+    assert args.step_mode == "async" and args.disc_lag == 1
     with pytest.raises(SystemExit):
         parse_option(base + ["--async-disc", "--step-mode", "fused"])
 
