@@ -88,11 +88,11 @@ def main() -> None:
     p.add_argument("--arch", default="scp", choices=["scp", "cmgan"],
                    help="scp = 3-gradient self-correcting disc step")
     p.add_argument("--modes", nargs="+", default=None,
-                   help="subset of sync/async/fused to run")
+                   help="subset of sync/async/pipelined/fused to run")
     args = p.parse_args()
     if args.gen_only and (args.modes or ["sync"]) != ["sync"]:
         p.error("--gen-only is only meaningful with --modes sync "
-                "(the async/fused runners always execute the "
+                "(the async/pipelined/fused runners always execute the "
                 "discriminator phase)")
 
     from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
@@ -317,10 +317,10 @@ def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = "".join(
         f"| {m} | {results[m]:.3f} | {1000 / results[m]:.1f} |\n"
-        for m in ("sync", "async", "fused") if m in results
+        for m in ("sync", "async", "pipelined", "fused") if m in results
     ) + "".join(
         f"| {m} | n/a | n/a ({errors[m]}) |\n"
-        for m in ("sync", "async", "fused") if m in errors
+        for m in ("sync", "async", "pipelined", "fused") if m in errors
     )
     with open(os.path.join(here, "docs", "TRAIN_BENCH.md"), "w") as f:
         f.write(

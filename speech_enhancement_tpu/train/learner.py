@@ -82,16 +82,21 @@ class DiffuSELearner:
         # never-advancing epoch would feed byte-identical batches — the
         # same fixed crop of every utterance — for the whole run (the
         # reference reshuffles per pass via its sampler).  Derive the
-        # starting pass from the restored step so resume does not replay
-        # pass 0.
-        passes = 0
+        # starting pass AND in-pass offset from the restored step: a
+        # checkpoint saved mid-pass (e.g. a max_steps stop) must resume at
+        # the next unseen batch, not replay the pass from batch 0 — the
+        # loader is deterministic on (seed, epoch, shard, batch), so the
+        # skipped prefix is byte-identical to what the restored run saw.
+        passes, skip = 0, 0
         n_batches = getattr(self.dataset, "__len__", lambda: 0)()
         if n_batches:
-            passes = self.step // n_batches
+            passes, skip = divmod(self.step, n_batches)
         while True:
             if hasattr(self.dataset, "set_epoch"):
                 self.dataset.set_epoch(passes)
-            for batch in self.dataset:
+            for bi, batch in enumerate(self.dataset):
+                if bi < skip:
+                    continue
                 if max_steps is not None and self.step >= max_steps:
                     return self.state
                 if batch.audio.shape[0] == 0:
@@ -114,6 +119,7 @@ class DiffuSELearner:
                     self._write_summary(loss, time.time() - t0,
                                         float(grad_norm), batch)
                 self.step += 1
+            skip = 0
             self.save_to_checkpoint()
             passes += 1
 

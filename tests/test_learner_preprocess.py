@@ -119,3 +119,59 @@ def test_learner_advances_loader_epoch(tmp_path, monkeypatch):
     lr2.step = 4
     lr2.train(max_steps=5)
     assert calls[0] == 2, calls
+
+def test_learner_midpass_resume_skips_consumed_batches(tmp_path, monkeypatch):
+    """A checkpoint saved mid-pass (e.g. a max_steps stop) must resume at
+    the next unseen batch: the loader is deterministic on
+    (seed, epoch, shard, batch), so replaying the pass from batch 0 would
+    re-train byte-identical crops and misalign step vs data position."""
+    import types
+
+    from speech_enhancement_tpu.data.voicebank import Batch
+    from speech_enhancement_tpu.train import learner as learner_mod
+
+    consumed = []
+
+    class FakeLoader:
+        def __init__(self):
+            self.epoch = 0
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            for i in range(2):
+                a = np.full((1, 100), float(10 * self.epoch + i),
+                            np.float32)
+                yield Batch(audio=a, noisy=a, pesq_clean=None,
+                            pesq_noisy=None)
+
+    monkeypatch.setattr(
+        learner_mod, "diffuse_step",
+        lambda state, audio, *a, **k: (
+            consumed.append(float(audio[0, 0])) or
+            (state, np.float32(0.1), np.float32(0.0))
+        ),
+    )
+    mk = lambda: learner_mod.DiffuSELearner(  # noqa: E731
+        str(tmp_path), model=None,
+        state=types.SimpleNamespace(step=0), tx=None,
+        dataset=FakeLoader(), noise_schedule=None, criterion=None,
+        summary_every=10_000,
+    )
+    lr = mk()
+    monkeypatch.setattr(lr, "save_to_checkpoint", lambda *a, **k: None)
+    lr.train(max_steps=3)  # stops mid-pass: batch (1, 0) was the last step
+    assert consumed == [0.0, 1.0, 10.0], consumed
+
+    # resume at step 3 = pass 1, batch 1: the next batch is (1, 1) — and
+    # the skip must reset afterwards (pass 2 starts at batch 0)
+    consumed.clear()
+    lr2 = mk()
+    monkeypatch.setattr(lr2, "save_to_checkpoint", lambda *a, **k: None)
+    lr2.step = 3
+    lr2.train(max_steps=6)
+    assert consumed == [11.0, 20.0, 21.0], consumed
