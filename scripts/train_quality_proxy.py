@@ -115,6 +115,10 @@ def main() -> int:
                          "(reference core/function.py:231-254, 292-305); "
                          "per-epoch metrics also land in <root>/ab_<arch>."
                          "json for scripts-side comparison tables")
+    ap.add_argument("--train-seed", type=int, default=3,
+                    help="main_gan --seed (init + loader stream); vary for "
+                         "seed-robustness runs — the corpus itself stays "
+                         "fixed (rng 7) so runs share the train/test data")
     ap.add_argument("--step-mode", default=None,
                     choices=["two-phase", "async", "pipelined", "fused"],
                     help="main_gan --step-mode passthrough: quality A/B of "
@@ -147,7 +151,7 @@ def main() -> int:
         "-a", args.arch, "--cfg", cfg, "--output", out,
         "--epochs", str(args.epochs), "--optimizer", "adamw",
         "--lr", "5e-4", "--criterion", "mse", "--gen-first",
-        "--seed", "3", "-j", "4", "-p", "20",
+        "--seed", str(args.train_seed), "-j", "4", "-p", "20",
         "--precision", args.precision,
     ] + (["--fused-attention"] if args.fused_attention else [])
       + (["--step-mode", args.step_mode] if args.step_mode else []) + opts)
@@ -219,7 +223,7 @@ def main() -> int:
             "arch": args.arch, "precision": args.precision,
             "fused_attention": bool(args.fused_attention),
             "step_mode": args.step_mode,
-            "epochs": args.epochs, "seed": 3,
+            "epochs": args.epochs, "seed": args.train_seed,
             "noisy": [float(v) for v in base],
             "per_epoch": {
                 str(e): [float(v) for v in m] for e, m in rows
