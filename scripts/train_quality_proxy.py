@@ -218,6 +218,8 @@ def main() -> int:
     import json as _json
 
     tag = f"_{args.step_mode}" if args.step_mode else ""
+    if args.train_seed != 3:  # seed-robustness arms don't clobber the base record
+        tag += f"_s{args.train_seed}"
     with open(os.path.join(args.root, f"ab_{args.arch}{tag}.json"), "w") as f:
         _json.dump({
             "arch": args.arch, "precision": args.precision,

@@ -71,6 +71,50 @@ def test_generator_parity(ref_modules):
     assert rel_i < 1e-4, rel_i
 
 
+def test_convert_checkpoint_cli(ref_modules, tmp_path):
+    """Migration path: a reference-layout .pth.tar (main_gan.py:300-310,
+    DDP 'module.' prefixes included) converts to an orbax checkpoint dir
+    whose variables round-trip bit-exactly."""
+    from speech_enhancement_tpu.cli import convert_checkpoint as cc
+    from speech_enhancement_tpu.utils.checkpoint import load_variables
+    from speech_enhancement_tpu.utils.convert_torch import convert_checkpoint
+
+    TorchTSCNet, TorchDisc = ref_modules
+    torch.manual_seed(2)
+    tm = TorchTSCNet(num_channel=64, num_features=201)
+    td = TorchDisc(ndf=16)
+    ckpt = tmp_path / "model_best.pth.tar"
+    torch.save(
+        {
+            "epoch": 5,
+            "arch": "scp",
+            "gen_state_dict": {f"module.{k}": v
+                               for k, v in tm.state_dict().items()},
+            "disc_state_dict": {f"module.{k}": v
+                                for k, v in td.state_dict().items()},
+        },
+        ckpt,
+    )
+
+    out = tmp_path / "converted"
+    assert cc.main([str(ckpt), str(out)]) == 0
+    assert (out / "variables").is_dir()
+
+    expected = convert_checkpoint(str(ckpt))
+    restored = load_variables(str(out), expected)
+    import jax
+
+    mismatches = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        restored, expected,
+    )
+    assert max(jax.tree_util.tree_leaves(mismatches)) == 0.0
+
+    # refuses to clobber an existing conversion
+    with pytest.raises(SystemExit):
+        cc.main([str(ckpt), str(out)])
+
+
 def test_discriminator_parity(ref_modules):
     import jax.numpy as jnp
 
