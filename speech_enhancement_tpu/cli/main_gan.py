@@ -49,6 +49,7 @@ from speech_enhancement_tpu.utils import (
     create_logger,
     latest_checkpoint,
     load_checkpoint,
+    load_variables,
     save_checkpoint,
 )
 
@@ -81,6 +82,14 @@ def parse_option(argv=None):
     parser.add_argument("--max-norm", default=0.0, type=float)
     parser.add_argument("-p", "--print-freq", default=10, type=int)
     parser.add_argument("--resume", default="", type=str)
+    parser.add_argument(
+        "--init-from", default="", type=str,
+        help="checkpoint dir whose 'variables' subtree seeds the model "
+             "weights (e.g. a cli.convert_checkpoint output, to fine-tune "
+             "a reference-trained torch model on TPU); optimizers, epoch "
+             "counter and best-loss start fresh — unlike --resume, which "
+             "restores the full training state",
+    )
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--optimizer", default="sgd",
                         choices=["sgd", "adamw", "lars", "lamb"])
@@ -149,6 +158,10 @@ def parse_option(argv=None):
     # host a full gen-step of device time so fut.result() returns
     # immediately (docs/TRAIN_BENCH.md round-4b cost split)
     args.disc_lag = {"async": 1, "pipelined": 2}.get(args.step_mode, 0)
+    if args.init_from and args.resume:
+        parser.error("--init-from and --resume are mutually exclusive: "
+                     "one seeds weights only, the other restores the "
+                     "full training state")
     config = get_config(args)
     return args, config
 
@@ -242,6 +255,25 @@ def main(argv=None):
 
     best_loss = 1e8
     start_epoch = args.start_epoch
+    if args.init_from:
+        variables = load_variables(
+            args.init_from,
+            {"gen": state.gen.variables(), "disc": state.disc.variables()},
+        )
+        state = state.replace(
+            gen=state.gen.replace(
+                params=variables["gen"]["params"],
+                extra={k: v for k, v in variables["gen"].items()
+                       if k != "params"},
+            ),
+            disc=state.disc.replace(
+                params=variables["disc"]["params"],
+                extra={k: v for k, v in variables["disc"].items()
+                       if k != "params"},
+            ),
+        )
+        logger.info(f"=> model weights initialized from {args.init_from} "
+                    "(fresh optimizers, epoch 0)")
     if args.resume:
         path = args.resume
         if path == "auto":

@@ -201,6 +201,71 @@ def test_main_gan_resume_auto(tiny_dataset, monkeypatch):
 
 
 @pytest.mark.slow
+def test_main_gan_init_from_variables(tiny_dataset, monkeypatch):
+    """--init-from seeds the model weights from a checkpoint's
+    'variables' subtree (the fine-tune path for cli.convert_checkpoint
+    outputs) with fresh optimizers, and is mutually exclusive with
+    --resume."""
+    import jax
+    import numpy as np
+
+    import speech_enhancement_tpu.cli.main_gan as mg
+    from speech_enhancement_tpu.utils import load_variables
+
+    root, cfg = tiny_dataset
+    out = root / "out_init_src"
+    monkeypatch.setattr(
+        mg, "TSCNet",
+        lambda num_channel, num_features, fused_attention=False: __import__(
+            "speech_enhancement_tpu.models", fromlist=["TSCNet"]
+        ).TSCNet(num_channel=8, num_features=num_features,
+                 fused_attention=fused_attention),
+    )
+    monkeypatch.setattr(
+        mg, "Discriminator", lambda ndf: __import__(
+            "speech_enhancement_tpu.models", fromlist=["Discriminator"]
+        ).Discriminator(ndf=4),
+    )
+    common = ["-a", "cmgan", "--cfg", cfg, "--seed", "3", "-j", "2",
+              "-p", "1", "--n-devices", "1"]
+    mg.main(common + ["--output", str(out), "--epochs", "1"])
+    src = out / "cmgan" / "default" / "checkpoint_0000"
+    assert src.exists()
+
+    # spy on the state entering the train loop: --init-from must have
+    # replaced params with the checkpoint's variables, with step 0
+    captured = {}
+    real_rep = mg.replicate_state
+
+    def spy(mesh, state):
+        captured["state"] = state
+        return real_rep(mesh, state)
+
+    monkeypatch.setattr(mg, "replicate_state", spy)
+    # different seed: fresh-init weights could not coincide by accident
+    mg.main(["-a", "cmgan", "--cfg", cfg, "--seed", "5", "-j", "2",
+             "-p", "1", "--n-devices", "1",
+             "--output", str(root / "out_init_dst"), "--epochs", "1",
+             "--init-from", str(src)])
+    state = captured["state"]
+    template = {"gen": state.gen.variables(), "disc": state.disc.variables()}
+    expected = load_variables(str(src), jax.device_get(template))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(state.gen.params), expected["gen"]["params"],
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+    assert int(state.gen.step) == 0  # fresh optimizer/step, not a resume
+    assert (root / "out_init_dst" / "cmgan" / "default"
+            / "checkpoint_0000").exists()
+
+    with pytest.raises(SystemExit):  # parser.error -> SystemExit(2)
+        mg.main(common + ["--output", str(root / "out_both"),
+                          "--epochs", "1", "--init-from", str(src),
+                          "--resume", "auto"])
+
+
+@pytest.mark.slow
 def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
     root, cfg = tiny_dataset
     out = root / "out_diff"
