@@ -40,6 +40,7 @@ from speech_enhancement_tpu.utils import (
     create_logger,
     latest_checkpoint,
     load_checkpoint,
+    load_variables,
     save_checkpoint,
 )
 
@@ -64,6 +65,13 @@ def parse_option(argv=None):
     parser.add_argument("--max-norm", default=0.0, type=float)
     parser.add_argument("-p", "--print-freq", default=10, type=int)
     parser.add_argument("--resume", default="", type=str)
+    parser.add_argument(
+        "--init-from", default="", type=str,
+        help="checkpoint dir whose 'variables' subtree seeds the model "
+             "weights (same-architecture warm start, e.g. re-training "
+             "with a new schedule); optimizers and counters start fresh, "
+             "unlike --resume",
+    )
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--optimizer", default="sgd",
                         choices=["sgd", "adamw", "lars", "lamb"])
@@ -82,6 +90,10 @@ def parse_option(argv=None):
     parser.add_argument("--num-processes", default=None, type=int)
     parser.add_argument("--process-id", default=None, type=int)
     args = parser.parse_args(argv)
+    if args.init_from and args.resume:
+        parser.error("--init-from and --resume are mutually exclusive: "
+                     "one seeds weights only, the other restores the "
+                     "full training state")
     config = get_config(args)
     return args, config
 
@@ -171,6 +183,14 @@ def main(argv=None):
 
     best_loss = 1e8
     start_epoch = args.start_epoch
+    if args.init_from:
+        variables = load_variables(args.init_from, state.variables())
+        state = state.replace(
+            params=variables["params"],
+            extra={k: v for k, v in variables.items() if k != "params"},
+        )
+        logger.info(f"=> model weights initialized from {args.init_from} "
+                    "(fresh optimizer, epoch 0)")
     if args.resume:
         path = args.resume if args.resume != "auto" else latest_checkpoint(
             config.OUTPUT

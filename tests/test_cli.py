@@ -287,4 +287,33 @@ def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
         "--epochs", "1", "--seed", "3", "-j", "2", "-p", "1",
         "--n-devices", "1", "--optimizer", "adamw", "--lr", "1e-4",
     ])
-    assert (out / "tsc-diffuse" / "default" / "checkpoint_0000").exists()
+    src = out / "tsc-diffuse" / "default" / "checkpoint_0000"
+    assert src.exists()
+
+    # --init-from warm-starts a new run from the variables subtree
+    import jax
+
+    from speech_enhancement_tpu.utils import load_variables
+
+    captured = {}
+    real_rep = md.replicate_state
+
+    def spy(mesh, state):
+        captured["state"] = state
+        return real_rep(mesh, state)
+
+    monkeypatch.setattr(md, "replicate_state", spy)
+    md.main([
+        "-a", "tsc-diffuse", "--cfg", cfg,
+        "--output", str(root / "out_diff_warm"),
+        "--epochs", "1", "--seed", "5", "-j", "2", "-p", "1",
+        "--n-devices", "1", "--optimizer", "adamw", "--lr", "1e-4",
+        "--init-from", str(src),
+    ])
+    state = captured["state"]
+    expected = load_variables(str(src), jax.device_get(state.variables()))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(state.params), expected["params"],
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
