@@ -45,6 +45,10 @@ def parse_option(argv=None):
     parser.add_argument("--comp-type", default="pow",
                         choices=["norm", "log", "pow", "none"])
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--seed", default=0, type=int,
+                        help="template-init seed (values are replaced by "
+                             "the restored checkpoint; present because "
+                             "init_state is shared with main_diffuse)")
     parser.add_argument("--opts", default=None, nargs="+")
     args = parser.parse_args(argv)
     config = get_config(args)

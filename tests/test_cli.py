@@ -317,3 +317,16 @@ def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
         jax.device_get(state.params), expected["params"],
     )
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+    # the inference CLI samples the trained checkpoint end to end
+    # (args.seed was missing from its parser once — load_model crashed on
+    # every real invocation; this pins the whole entry point)
+    import speech_enhancement_tpu.cli.inference_diffuse as idf
+
+    monkeypatch.setattr(idf, "build_model", small_build)
+    idf.main([
+        "-a", "tsc-diffuse", "--cfg", cfg, "-m", str(src),
+        "-o", str(root / "diff_enhanced"), "--fast", "--save",
+    ])
+    saved = list((root / "diff_enhanced").rglob("*.wav"))
+    assert len(saved) == 3
