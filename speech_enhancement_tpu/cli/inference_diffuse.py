@@ -20,7 +20,7 @@ import optax
 from speech_enhancement_tpu.cli.main_diffuse import build_model, init_state
 from speech_enhancement_tpu.config import get_config
 from speech_enhancement_tpu.data import load_wav, save_wav
-from speech_enhancement_tpu.enhance import wrap_pad
+from speech_enhancement_tpu.enhance import round_to_bucket, wrap_pad
 from speech_enhancement_tpu.metrics import compute_metrics
 from speech_enhancement_tpu.train import (
     inference_schedule,
@@ -49,6 +49,14 @@ def parse_option(argv=None):
                         help="template-init seed (values are replaced by "
                              "the restored checkpoint; present because "
                              "init_state is shared with main_diffuse)")
+    parser.add_argument(
+        "--sampler-batch", default=8, type=int,
+        help="utterances sampled per compiled reverse pass (length-"
+             "bucketed like the GAN Enhancer; the samplers are bandwidth-"
+             "bound so batching is near-free throughput, "
+             "docs/DIFFUSION_BENCH.md).  1 = reference-faithful per-"
+             "utterance sampling with exact hop-multiple padding "
+             "(inference_diffuse.py:192-269)")
     parser.add_argument("--opts", default=None, nargs="+")
     args = parser.parse_args(argv)
     config = get_config(args)
@@ -82,6 +90,42 @@ def predict(model, variables, args, config, noisy_signal, schedule, rng):
     return (np.asarray(audio)[0] / c)[:length]
 
 
+def predict_batch(model, variables, args, config, signals, schedule, rng):
+    """Batched sampling: same per-utterance math as :func:`predict`, but
+    the whole chunk shares one compiled lax.scan reverse pass.  Signals
+    are padded to a common bucket length; the extra context is the same
+    accepted deviation as the GAN Enhancer's bucketing.  With
+    ``--sampler-batch 1`` the bucket quantum degenerates to the hop, so a
+    singleton chunk reproduces :func:`predict` bit-for-bit."""
+    hop = config.HOP_SAMPLES
+    lengths = [len(s) for s in signals]
+    quantum = hop if len(signals) == 1 and args.sampler_batch == 1 else 8000
+    bucket = round_to_bucket(max(lengths), quantum=quantum, hop=hop)
+    if args.arch.startswith("diffuse"):
+        # sample_waveform zero-fills past the utterance internally; the
+        # batch just needs a common length
+        x = jnp.asarray(np.stack([
+            np.pad(np.asarray(s, np.float32), (0, bucket - len(s)))
+            for s in signals
+        ]))
+        audio = np.asarray(sample_waveform(
+            model, variables, x, schedule, rng,
+            hop=hop, n_fft=config.N_FFT,
+        ))
+        return [audio[i][:n] for i, n in enumerate(lengths)]
+    cs = [float(np.sqrt(n / np.sum(np.asarray(s) ** 2.0)))
+          for s, n in zip(signals, lengths)]
+    x = jnp.asarray(np.stack([
+        wrap_pad(np.asarray(s, np.float32) * c, bucket)
+        for s, c in zip(signals, cs)
+    ]))
+    audio = np.asarray(sample_tsc(
+        model, variables, x, schedule, rng,
+        n_fft=config.N_FFT, hop=hop, comp_type=args.comp_type,
+    ))
+    return [(audio[i] / cs[i])[:n] for i, n in enumerate(lengths)]
+
+
 def inference(args, config, model_path, data_paths):
     model, variables = load_model(model_path, args, config)
     schedule = inference_schedule(
@@ -92,13 +136,28 @@ def inference(args, config, model_path, data_paths):
     out_dir = Path(args.output) / Path(data_paths[0]).parent.name
     if args.save:
         out_dir.mkdir(parents=True, exist_ok=True)
+
+    noisies, cleans = [], []
     for path in data_paths:
         clean_path = path.replace(config.DATA.TEST_NOISY_DIR,
                                   config.DATA.TEST_CLEAN_DIR)
-        noisy, _ = load_wav(path, config.SAMPLE_RATE)
-        clean, _ = load_wav(clean_path, config.SAMPLE_RATE)
+        noisies.append(load_wav(path, config.SAMPLE_RATE)[0])
+        cleans.append(load_wav(clean_path, config.SAMPLE_RATE)[0])
+
+    # length-bucketed chunks (stable sort: equal lengths keep file order,
+    # so --sampler-batch 1 visits utterances in the reference's order)
+    chunk_size = max(1, args.sampler_batch)
+    order = sorted(range(len(noisies)), key=lambda i: len(noisies[i]))
+    ests: list[np.ndarray | None] = [None] * len(noisies)
+    for i in range(0, len(order), chunk_size):
+        chunk = order[i:i + chunk_size]
         rng, sub = jax.random.split(rng)
-        est = predict(model, variables, args, config, noisy, schedule, sub)
+        outs = predict_batch(model, variables, args, config,
+                             [noisies[j] for j in chunk], schedule, sub)
+        for j, est in zip(chunk, outs):
+            ests[j] = est
+
+    for path, clean, est in zip(data_paths, cleans, ests):
         metrics_total += np.array(
             compute_metrics(clean, est, config.SAMPLE_RATE, 0)
         )

@@ -182,3 +182,56 @@ def test_diffuse_step_fp32_and_bf16(rng):
     # same rng/batch: bf16 loss tracks fp32 to matmul tolerance
     assert abs(losses["bf16"] - losses["fp32"]) < 0.05 * (
         abs(losses["fp32"]) + 1e-3)
+
+
+def test_predict_batch_singleton_matches_predict(rng):
+    """cli.inference_diffuse.predict_batch with a singleton chunk must
+    reproduce the per-utterance predict() bit-for-bit (same rng, same
+    hop-multiple padding) for BOTH archs; a mixed-length chunk buckets,
+    samples once, and trims back to the original lengths."""
+    from types import SimpleNamespace
+
+    from speech_enhancement_tpu.cli.inference_diffuse import (
+        predict,
+        predict_batch,
+    )
+    from speech_enhancement_tpu.ops import compressed_stft
+
+    cfg = SimpleNamespace(HOP_SAMPLES=100, N_FFT=400)
+    sched = inference_schedule(
+        linear_noise_schedule(50), [0.0001, 0.001, 0.01, 0.05, 0.2, 0.35],
+        fast=True,
+    )
+    sig = 0.1 * rng.standard_normal(L).astype(np.float32)
+
+    # tsc arch
+    model = DiffusionTSCNet(num_channel=8, num_features=201, num_steps=50)
+    spec = compressed_stft(jnp.zeros((1, L)), 400, 100)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec, spec, jnp.array([0.0]),
+    )
+    args = SimpleNamespace(arch="tsc-diffuse", comp_type="pow",
+                           sampler_batch=1)
+    key = jax.random.PRNGKey(7)
+    serial = predict(model, vs, args, cfg, sig, sched, key)
+    batched = predict_batch(model, vs, args, cfg, [sig], sched, key)[0]
+    np.testing.assert_array_equal(serial, batched)
+
+    # mixed-length chunk: bucket, sample once, trim per utterance
+    args2 = SimpleNamespace(arch="tsc-diffuse", comp_type="pow",
+                            sampler_batch=2)
+    short = 0.1 * rng.standard_normal(L - 700).astype(np.float32)
+    outs = predict_batch(model, vs, args2, cfg, [sig, short], sched, key)
+    assert [len(o) for o in outs] == [L, L - 700]
+    assert all(np.isfinite(o).all() for o in outs)
+
+    # waveform arch (hop-multiple length -> identical framing)
+    wmodel = DiffuSE(residual_layers=2, residual_channels=32, n_specs=201)
+    cond = jnp.ones((1, L // 100, 201))
+    wvs = wmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, L)), cond,
+                      jnp.array([0.0]))
+    wargs = SimpleNamespace(arch="diffuse", comp_type="pow", sampler_batch=1)
+    wserial = predict(wmodel, wvs, wargs, cfg, sig, sched, key)
+    wbatched = predict_batch(wmodel, wvs, wargs, cfg, [sig], sched, key)[0]
+    np.testing.assert_array_equal(wserial, wbatched)
