@@ -61,8 +61,14 @@ def main() -> int:
                     help="sweep with the 6-step --fast schedule instead "
                          "of the full 50-step sampler")
     ap.add_argument("--train-seed", type=int, default=3)
-    ap.add_argument("--report", default="docs/diffusion_proxy_run.md")
+    ap.add_argument("--report", default=None,
+                    help="default is arch-dependent so the two arch arms "
+                         "never clobber each other's committed record")
     args = ap.parse_args()
+    if args.report is None:
+        args.report = ("docs/diffusion_proxy_run.md"
+                       if args.arch == "tsc-diffuse"
+                       else "docs/diffusion_waveform_proxy_run.md")
 
     rng = np.random.default_rng(7)  # same corpus as the GAN proxy
     print("synthesizing corpus ...", flush=True)
@@ -92,13 +98,17 @@ def main() -> int:
         "-p", "20",
     ] + opts)
 
+    noisy_dir = os.path.join(args.root, "test", "noisy")
+    clean_dir = os.path.join(args.root, "test", "clean")
     noisy_paths = sorted(
-        os.path.join(f"{args.root}/test/noisy", f)
-        for f in os.listdir(f"{args.root}/test/noisy") if f.endswith(".wav")
+        os.path.join(noisy_dir, f)
+        for f in os.listdir(noisy_dir) if f.endswith(".wav")
     )
     base = np.zeros(6)
     for p in noisy_paths:
-        clean, _ = load_wav(p.replace("noisy", "clean"), SR)
+        # join on the basename, NOT p.replace("noisy","clean"): a --root
+        # containing the substring "noisy" would corrupt the whole path
+        clean, _ = load_wav(os.path.join(clean_dir, os.path.basename(p)), SR)
         noisy, _ = load_wav(p, SR)
         base += np.array(compute_metrics(clean, noisy, SR, 0))
     base /= len(noisy_paths)
@@ -121,6 +131,11 @@ def main() -> int:
         m /= len(noisy_paths)
         rows.append((epoch, m))
         print(f"epoch {epoch}: pesq {m[0]:.3f} stoi {m[5]:.3f}", flush=True)
+    if not rows:
+        raise SystemExit(
+            f"no restorable checkpoints found under {ckpt_dir} for sweep "
+            f"epochs {sweep} — training output layout mismatch?"
+        )
 
     schedule = "6-step --fast" if args.fast else "full 50-step"
     lines = [
@@ -152,7 +167,9 @@ def main() -> int:
         f"STOI {best[1][5]:.3f} vs {base[5]:.3f} "
         f"(Δ {best[1][5] - base[5]:+.3f}).",
     ]
-    os.makedirs(os.path.dirname(args.report), exist_ok=True)
+    report_dir = os.path.dirname(args.report)
+    if report_dir:
+        os.makedirs(report_dir, exist_ok=True)
     with open(args.report, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[-2:]))

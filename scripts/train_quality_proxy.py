@@ -161,7 +161,10 @@ def main() -> int:
     noisy_paths = sorted(_glob.glob(f"{args.root}/test/noisy/*.wav"))
     base = np.zeros(6)
     for p in noisy_paths:
-        clean, _ = load_wav(p.replace("noisy", "clean"), SR)
+        # join on the basename, NOT p.replace("noisy","clean"): a --root
+        # containing the substring "noisy" would corrupt the whole path
+        clean, _ = load_wav(os.path.join(args.root, "test", "clean",
+                                         os.path.basename(p)), SR)
         noisy, _ = load_wav(p, SR)
         base += np.array(compute_metrics(clean, noisy, SR, 0))
     base /= len(noisy_paths)

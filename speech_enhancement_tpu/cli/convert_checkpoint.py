@@ -28,10 +28,13 @@ from pathlib import Path
 
 
 def _verify_against_template(converted: dict, n_fft: int, hop: int,
-                             crop_len: int) -> None:
-    """Shape/dtype-check the converted trees against a freshly-built
+                             crop_len: int) -> dict:
+    """Shape-check the converted trees against a freshly-built
     GanTrainState — under ``jax.eval_shape`` so nothing compiles or
-    executes (free even over a TPU tunnel)."""
+    executes (free even over a TPU tunnel) — and cast any leaf whose
+    dtype differs (e.g. a float64/bf16 torch fine-tune) to the
+    template's, so the written checkpoint always restores against the
+    fp32 inference template."""
     import jax
     import optax
 
@@ -68,6 +71,21 @@ def _verify_against_template(converted: dict, n_fft: int, hop: int,
                     f"{name}{key}: shape {tuple(got.shape)} != expected "
                     f"{tuple(tmpl_leaf.shape)}"
                 )
+
+        import numpy as np
+
+        def _cast(conv_leaf, tmpl_leaf):
+            arr = np.asarray(conv_leaf)
+            if arr.dtype != tmpl_leaf.dtype:
+                print(f"{name}: casting a {arr.dtype} leaf to "
+                      f"{tmpl_leaf.dtype} (template dtype)")
+                return arr.astype(tmpl_leaf.dtype)
+            return arr
+
+        converted[name] = jax.tree_util.tree_map(
+            _cast, converted[name], template[name]
+        )
+    return converted
 
 
 def parse_option(argv=None):
@@ -121,8 +139,8 @@ def main(argv=None) -> int:
         )(jax.random.PRNGKey(0), mag)
 
     if not args.no_verify:
-        _verify_against_template(converted, args.n_fft, args.hop,
-                                 args.crop_len)
+        converted = _verify_against_template(converted, args.n_fft,
+                                             args.hop, args.crop_len)
 
     out = Path(args.output).resolve()
     out.mkdir(parents=True, exist_ok=True)

@@ -70,19 +70,29 @@ def load_model(model_path, args, config):
     return model, load_variables(model_path, template.variables())
 
 
+def _rms_gain(signal: np.ndarray) -> float:
+    """Per-utterance RMS gain c = sqrt(T / sum(x^2)) with the silent-
+    utterance guard (c = 1): the reference's unguarded expression is inf
+    on an all-zero wav, and 0 * inf = NaN would poison the whole sampled
+    chunk (same deviation as ops.normalize_batch)."""
+    energy = float(np.sum(np.asarray(signal) ** 2.0))
+    return float(np.sqrt(len(signal) / energy)) if energy > 0 else 1.0
+
+
 def predict(model, variables, args, config, noisy_signal, schedule, rng):
     """Per-utterance sampling with reference padding/normalization
     semantics (inference_diffuse.py:192-269)."""
     hop = config.HOP_SAMPLES
     length = len(noisy_signal)
     if args.arch.startswith("diffuse"):
-        padded = ((length + hop - 1) // hop) * hop
+        # reference predict feeds the raw (unpadded) signal; the sampler
+        # frames it to floor(L/hop) internally (inference_diffuse.py:198)
         x = jnp.asarray(noisy_signal[None, :], jnp.float32)
         audio = sample_waveform(model, variables, x, schedule, rng,
                                 hop=hop, n_fft=config.N_FFT)
         return np.asarray(audio)[0][:length]
     # tsc: RMS normalize + wrap-pad like the GAN predict
-    c = float(np.sqrt(length / np.sum(noisy_signal**2.0)))
+    c = _rms_gain(noisy_signal)
     padded = ((length + hop - 1) // hop) * hop
     x = jnp.asarray(wrap_pad(noisy_signal * c, padded)[None], jnp.float32)
     audio = sample_tsc(model, variables, x, schedule, rng,
@@ -99,22 +109,28 @@ def predict_batch(model, variables, args, config, signals, schedule, rng):
     singleton chunk reproduces :func:`predict` bit-for-bit."""
     hop = config.HOP_SAMPLES
     lengths = [len(s) for s in signals]
-    quantum = hop if len(signals) == 1 and args.sampler_batch == 1 else 8000
+    singleton = len(signals) == 1 and args.sampler_batch == 1
+    quantum = hop if singleton else 8000
     bucket = round_to_bucket(max(lengths), quantum=quantum, hop=hop)
     if args.arch.startswith("diffuse"):
-        # sample_waveform zero-fills past the utterance internally; the
-        # batch just needs a common length
-        x = jnp.asarray(np.stack([
-            np.pad(np.asarray(s, np.float32), (0, bucket - len(s)))
-            for s in signals
-        ]))
+        if singleton:
+            # exact predict() framing: the raw signal, unpadded (padding
+            # to a hop multiple would change the frame count and thus
+            # every noise draw inside the sampler)
+            x = jnp.asarray(np.asarray(signals[0], np.float32)[None])
+        else:
+            # sample_waveform zero-fills past the utterance internally;
+            # the batch just needs a common length
+            x = jnp.asarray(np.stack([
+                np.pad(np.asarray(s, np.float32), (0, bucket - len(s)))
+                for s in signals
+            ]))
         audio = np.asarray(sample_waveform(
             model, variables, x, schedule, rng,
             hop=hop, n_fft=config.N_FFT,
         ))
         return [audio[i][:n] for i, n in enumerate(lengths)]
-    cs = [float(np.sqrt(n / np.sum(np.asarray(s) ** 2.0)))
-          for s, n in zip(signals, lengths)]
+    cs = [_rms_gain(s) for s in signals]
     x = jnp.asarray(np.stack([
         wrap_pad(np.asarray(s, np.float32) * c, bucket)
         for s, c in zip(signals, cs)
@@ -144,8 +160,10 @@ def inference(args, config, model_path, data_paths):
         noisies.append(load_wav(path, config.SAMPLE_RATE)[0])
         cleans.append(load_wav(clean_path, config.SAMPLE_RATE)[0])
 
-    # length-bucketed chunks (stable sort: equal lengths keep file order,
-    # so --sampler-batch 1 visits utterances in the reference's order)
+    # length-bucketed chunks (stable sort; NOTE the visit order — and so
+    # the per-chunk rng assignment — is length-sorted, not file order:
+    # per-utterance math is pinned by the predict() parity test, but
+    # which random draws an utterance gets is not part of that contract)
     chunk_size = max(1, args.sampler_batch)
     order = sorted(range(len(noisies)), key=lambda i: len(noisies[i]))
     ests: list[np.ndarray | None] = [None] * len(noisies)

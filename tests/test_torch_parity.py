@@ -114,6 +114,19 @@ def test_convert_checkpoint_cli(ref_modules, tmp_path):
     with pytest.raises(SystemExit):
         cc.main([str(ckpt), str(out)])
 
+    # non-fp32 torch leaves (e.g. a float64 fine-tune) are cast to the
+    # template dtype during verification, so the written checkpoint
+    # always restores against the fp32 inference template
+    f64 = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64), expected
+    )
+    normalized = cc._verify_against_template(f64, 400, 100, 16000)
+    dtypes = {
+        np.asarray(leaf).dtype
+        for leaf in jax.tree_util.tree_leaves(normalized)
+    }
+    assert dtypes == {np.dtype(np.float32)}
+
 
 def test_discriminator_parity(ref_modules):
     import jax.numpy as jnp

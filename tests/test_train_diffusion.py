@@ -226,12 +226,21 @@ def test_predict_batch_singleton_matches_predict(rng):
     assert [len(o) for o in outs] == [L, L - 700]
     assert all(np.isfinite(o).all() for o in outs)
 
-    # waveform arch (hop-multiple length -> identical framing)
+    # silent utterance must not NaN-poison its chunk (c = 1 guard; the
+    # reference's unguarded sqrt(T/sum x^2) is inf on an all-zero wav)
+    silent = np.zeros(L, np.float32)
+    outs = predict_batch(model, vs, args2, cfg, [sig, silent], sched, key)
+    assert all(np.isfinite(o).all() for o in outs)
+
+    # waveform arch, NON-hop-multiple length: singleton must keep
+    # predict()'s raw (unpadded) framing — identical noise draws
     wmodel = DiffuSE(residual_layers=2, residual_channels=32, n_specs=201)
     cond = jnp.ones((1, L // 100, 201))
     wvs = wmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, L)), cond,
                       jnp.array([0.0]))
     wargs = SimpleNamespace(arch="diffuse", comp_type="pow", sampler_batch=1)
-    wserial = predict(wmodel, wvs, wargs, cfg, sig, sched, key)
-    wbatched = predict_batch(wmodel, wvs, wargs, cfg, [sig], sched, key)[0]
-    np.testing.assert_array_equal(wserial, wbatched)
+    for wsig in (sig, sig[: L - 37]):
+        wserial = predict(wmodel, wvs, wargs, cfg, wsig, sched, key)
+        wbatched = predict_batch(wmodel, wvs, wargs, cfg, [wsig], sched,
+                                 key)[0]
+        np.testing.assert_array_equal(wserial, wbatched)
