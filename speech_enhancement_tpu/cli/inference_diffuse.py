@@ -198,8 +198,40 @@ def main(argv=None):
     if num == 0:
         raise SystemExit(f"no test wavs in {config.DATA.TEST_NOISY_DIR}")
     if args.validate_epochs:
+        # same sweep hardening as inference_gan: preemption checkpoints
+        # (no 'variables' subtree) are skipped, --start/--end optional
+        # (default: the checkpoints actually present), empty sweeps fail
+        # loudly instead of reporting a bogus best
+        def restorable(epoch):
+            p = Path(args.model_path) / f"checkpoint_{epoch:04d}"
+            if (p / "variables").exists():
+                return True
+            print(f"skipping epoch {epoch}: no restorable variables "
+                  f"subtree under {p}")
+            return False
+
+        if args.start is not None and args.end is not None:
+            epochs = [e for e in range(args.start, args.end)
+                      if restorable(e)]
+        else:
+            found = sorted(
+                int(p.name.split("_")[1])
+                for p in Path(args.model_path).glob("checkpoint_*")
+                if p.name.split("_")[1].isdigit()
+            )
+            epochs = [
+                e for e in found
+                if (args.start is None or e >= args.start)
+                and (args.end is None or e < args.end)
+                and restorable(e)
+            ]
+        if not epochs:
+            raise SystemExit(
+                f"no restorable checkpoint_*/variables under "
+                f"{args.model_path} in the requested range"
+            )
         best_pesq, best_epoch = 0.0, 0
-        for epoch in range(args.start, args.end):
+        for epoch in epochs:
             model_path = os.path.join(args.model_path,
                                       f"checkpoint_{epoch:04d}")
             m = inference(args, config, model_path, data_paths) / num

@@ -330,3 +330,18 @@ def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
     ])
     saved = list((root / "diff_enhanced").rglob("*.wav"))
     assert len(saved) == 3
+
+    # --validate-epochs without --start/--end sweeps the checkpoints
+    # actually present (same hardening as inference_gan); an empty dir
+    # fails loudly
+    idf.main([
+        "-a", "tsc-diffuse", "--cfg", cfg, "-m", str(src.parent),
+        "-o", str(root / "diff_sweep"), "--fast", "--validate-epochs",
+    ])
+    empty = root / "no_diff_ckpts"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no restorable"):
+        idf.main([
+            "-a", "tsc-diffuse", "--cfg", cfg, "-m", str(empty),
+            "-o", str(root / "diff_sweep2"), "--fast", "--validate-epochs",
+        ])
