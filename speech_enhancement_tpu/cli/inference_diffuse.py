@@ -8,7 +8,6 @@ per-step loop is the jitted lax.scan samplers in train.diffusion.
 from __future__ import annotations
 
 import argparse
-import os
 from glob import glob
 from pathlib import Path
 
@@ -27,7 +26,7 @@ from speech_enhancement_tpu.train import (
     sample_tsc,
     sample_waveform,
 )
-from speech_enhancement_tpu.utils import load_variables
+from speech_enhancement_tpu.utils import load_variables, sweep_checkpoints
 
 MODEL_NAMES = ["diffuse", "tsc-diffuse"]
 
@@ -198,43 +197,19 @@ def main(argv=None):
     if num == 0:
         raise SystemExit(f"no test wavs in {config.DATA.TEST_NOISY_DIR}")
     if args.validate_epochs:
-        # same sweep hardening as inference_gan: preemption checkpoints
-        # (no 'variables' subtree) are skipped, --start/--end optional
-        # (default: the checkpoints actually present), empty sweeps fail
-        # loudly instead of reporting a bogus best
-        def restorable(epoch):
-            p = Path(args.model_path) / f"checkpoint_{epoch:04d}"
-            if (p / "variables").exists():
-                return True
-            print(f"skipping epoch {epoch}: no restorable variables "
-                  f"subtree under {p}")
-            return False
-
-        if args.start is not None and args.end is not None:
-            epochs = [e for e in range(args.start, args.end)
-                      if restorable(e)]
-        else:
-            found = sorted(
-                int(p.name.split("_")[1])
-                for p in Path(args.model_path).glob("checkpoint_*")
-                if p.name.split("_")[1].isdigit()
-            )
-            epochs = [
-                e for e in found
-                if (args.start is None or e >= args.start)
-                and (args.end is None or e < args.end)
-                and restorable(e)
-            ]
+        # same sweep semantics as inference_gan (shared helper):
+        # preemption checkpoints are skipped, --start/--end optional,
+        # empty sweeps fail loudly instead of reporting a bogus best
+        epochs = sweep_checkpoints(args.model_path, args.start, args.end)
         if not epochs:
             raise SystemExit(
                 f"no restorable checkpoint_*/variables under "
                 f"{args.model_path} in the requested range"
             )
         best_pesq, best_epoch = 0.0, 0
-        for epoch in epochs:
-            model_path = os.path.join(args.model_path,
-                                      f"checkpoint_{epoch:04d}")
-            m = inference(args, config, model_path, data_paths) / num
+        for epoch, ckpt in epochs:
+            m = inference(args, config, str(ckpt), data_paths) / num
+            print(f"Epoch: {epoch}")
             _report(m)
             if m[0] > best_pesq:
                 best_pesq, best_epoch = m[0], epoch

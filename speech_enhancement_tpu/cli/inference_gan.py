@@ -9,7 +9,6 @@ the per-utterance Python loop.
 from __future__ import annotations
 
 import argparse
-import os
 from glob import glob
 from pathlib import Path
 
@@ -23,7 +22,7 @@ from speech_enhancement_tpu.enhance import Enhancer
 from speech_enhancement_tpu.metrics import compute_metrics
 from speech_enhancement_tpu.models import Discriminator, TSCNet
 from speech_enhancement_tpu.train import create_gan_state
-from speech_enhancement_tpu.utils import load_variables
+from speech_enhancement_tpu.utils import load_variables, sweep_checkpoints
 
 
 def parse_option(argv=None):
@@ -143,46 +142,18 @@ def main(argv=None):
         raise SystemExit(f"no test wavs in {config.DATA.TEST_NOISY_DIR}")
 
     if args.validate_epochs:
-        # one restorable-'variables' filter serves both branches: an
-        # emergency preemption checkpoint (train state only, no inference
-        # subtree) must be skipped, not crash the sweep
-        def restorable(epoch):
-            p = Path(args.model_path) / f"checkpoint_{epoch:04d}"
-            if (p / "variables").exists():
-                return True
-            print(f"skipping epoch {epoch}: no restorable variables "
-                  f"subtree under {p}")
-            return False
-
-        if args.start is not None and args.end is not None:
-            epochs = [e for e in range(args.start, args.end)
-                      if restorable(e)]
-        else:
-            # default to the checkpoints actually present in model_path
-            found = sorted(
-                int(p.name.split("_")[1])
-                for p in Path(args.model_path).glob("checkpoint_*")
-                if p.name.split("_")[1].isdigit()
-            )
-            epochs = [
-                e for e in found
-                if (args.start is None or e >= args.start)
-                and (args.end is None or e < args.end)
-                and restorable(e)
-            ]
+        epochs = sweep_checkpoints(args.model_path, args.start, args.end)
         if not epochs:
-            # guard BOTH branches: an explicit --start/--end range whose
-            # checkpoints are all missing must fail loudly, not print a
-            # bogus "Best epoch: 0, best PESQ: 0.0" and exit 0
+            # an explicit --start/--end range whose checkpoints are all
+            # missing must fail loudly, not print a bogus
+            # "Best epoch: 0, best PESQ: 0.0" and exit 0
             raise SystemExit(
                 f"no restorable checkpoint_*/variables under "
                 f"{args.model_path} in the requested range"
             )
         best_pesq, best_epoch = 0.0, 0
-        for epoch in epochs:
-            model_path = os.path.join(args.model_path,
-                                      f"checkpoint_{epoch:04d}")
-            metrics_avg = inference(args, config, model_path, data_paths) / num
+        for epoch, ckpt in epochs:
+            metrics_avg = inference(args, config, str(ckpt), data_paths) / num
             print(f"Epoch: {epoch}")
             _report(metrics_avg)
             if metrics_avg[0] > best_pesq:

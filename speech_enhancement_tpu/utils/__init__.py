@@ -3,6 +3,7 @@ from speech_enhancement_tpu.utils.checkpoint import (
     load_checkpoint,
     load_variables,
     save_checkpoint,
+    sweep_checkpoints,
 )
 from speech_enhancement_tpu.utils.logging import (
     AverageMeter,
@@ -28,4 +29,5 @@ __all__ = [
     "load_checkpoint",
     "load_variables",
     "save_checkpoint",
+    "sweep_checkpoints",
 ]

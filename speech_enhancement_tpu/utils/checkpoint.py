@@ -72,6 +72,45 @@ def load_variables(path: str, template: Any) -> Any:
     return ckptr.restore(Path(path).resolve() / "variables", template)
 
 
+def sweep_checkpoints(
+    path: str, start: int | None = None, end: int | None = None
+) -> list[tuple[int, Path]]:
+    """Restorable ``(epoch, checkpoint_dir)`` pairs for an inference
+    epoch sweep (``--validate-epochs``), shared by the gan and diffuse
+    CLIs (reference inference_gan.py:154-160 sweeps a bare range).
+
+    Checkpoints without an inference ``variables`` subtree — emergency
+    preemption saves hold the train state only — are skipped with a
+    message instead of crashing the sweep.  An explicit ``[start, end)``
+    range probes the zero-padded names this framework writes; without a
+    range the checkpoints actually present are discovered, keeping each
+    glob path as-is so a foreign unpadded name (``checkpoint_5``) still
+    restores from its real directory.
+    """
+    root = Path(path)
+
+    def restorable(epoch: int, p: Path) -> bool:
+        if (p / "variables").exists():
+            return True
+        print(f"skipping epoch {epoch}: no restorable variables "
+              f"subtree under {p}")
+        return False
+
+    if start is not None and end is not None:
+        pairs = [(e, root / f"checkpoint_{e:04d}") for e in range(start, end)]
+    else:
+        found = sorted(
+            ((int(p.name.split("_", 1)[1]), p)
+             for p in root.glob("checkpoint_*")
+             if p.name.split("_", 1)[1].isdigit()),
+            key=lambda ep: (ep[0], ep[1].name),
+        )
+        pairs = [(e, p) for e, p in found
+                 if (start is None or e >= start)
+                 and (end is None or e < end)]
+    return [(e, p) for e, p in pairs if restorable(e, p)]
+
+
 def latest_checkpoint(path: str) -> str | None:
     p = Path(path)
     if not p.exists():

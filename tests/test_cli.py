@@ -266,7 +266,7 @@ def test_main_gan_init_from_variables(tiny_dataset, monkeypatch):
 
 
 @pytest.mark.slow
-def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
+def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch, capsys):
     root, cfg = tiny_dataset
     out = root / "out_diff"
     import speech_enhancement_tpu.cli.main_diffuse as md
@@ -332,12 +332,18 @@ def test_main_diffuse_tsc_one_epoch(tiny_dataset, monkeypatch):
     assert len(saved) == 3
 
     # --validate-epochs without --start/--end sweeps the checkpoints
-    # actually present (same hardening as inference_gan); an empty dir
-    # fails loudly
+    # actually present (same hardening as inference_gan); a state-only
+    # preemption checkpoint mid-sweep is skipped (not crashed on); an
+    # empty dir fails loudly
+    (src.parent / "checkpoint_0001" / "state").mkdir(parents=True)
     idf.main([
         "-a", "tsc-diffuse", "--cfg", cfg, "-m", str(src.parent),
         "-o", str(root / "diff_sweep"), "--fast", "--validate-epochs",
     ])
+    sweep_out = capsys.readouterr().out
+    assert "skipping epoch 1" in sweep_out
+    assert "Epoch: 0" in sweep_out
+    assert "Best epoch: 0" in sweep_out
     empty = root / "no_diff_ckpts"
     empty.mkdir()
     with pytest.raises(SystemExit, match="no restorable"):

@@ -70,6 +70,33 @@ def test_latest_checkpoint_sorts_numerically(tmp_path):
     assert got.endswith("checkpoint_10500"), got
 
 
+def test_sweep_checkpoints(tmp_path):
+    """The --validate-epochs helper: discovers restorable checkpoints,
+    skips state-only preemption saves, honors [start, end), and keeps
+    the actual glob path so a foreign unpadded name (checkpoint_5)
+    restores from its real directory instead of a :04d round-trip."""
+    from speech_enhancement_tpu.utils import sweep_checkpoints
+
+    for name, sub in (("checkpoint_0000", "variables"),
+                      ("checkpoint_0002", "variables"),
+                      ("checkpoint_0001", "state"),      # preemption: skip
+                      ("checkpoint_5", "variables"),     # unpadded foreign
+                      ("model_best", "variables")):      # non-numeric: ignored
+        os.makedirs(os.path.join(str(tmp_path), name, sub))
+    got = sweep_checkpoints(str(tmp_path))
+    assert [(e, p.name) for e, p in got] == [
+        (0, "checkpoint_0000"), (2, "checkpoint_0002"), (5, "checkpoint_5"),
+    ]
+    # range filter applies to discovered checkpoints too
+    got = sweep_checkpoints(str(tmp_path), start=1, end=5)
+    assert [e for e, _ in got] == [2]
+    # explicit [start, end) probes padded names and skips missing ones
+    got = sweep_checkpoints(str(tmp_path), start=0, end=3)
+    assert [(e, p.name) for e, p in got] == [
+        (0, "checkpoint_0000"), (2, "checkpoint_0002"),
+    ]
+
+
 def test_preemption_guard():
     guard = PreemptionGuard()
     assert not guard.should_stop
