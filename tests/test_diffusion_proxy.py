@@ -3,15 +3,13 @@ conclusions of the checked-in proxy runs (scripts/train_diffusion_proxy.py
 on TPU — cli.main_diffuse training + cli.inference_diffuse reverse-sampler
 sweep), like tests/test_quality_proxy.py does for the GAN recipe.
 
-Two different claims, matching what each family can honestly show at
-proxy scale (docs/diffusion_waveform_proxy_run.md "Reading these numbers
-honestly"):
-
-* tsc-diffuse (spectrogram-domain) must BEAT the noisy baseline;
-* waveform DiffuSE must IMPROVE with training (best sampled PESQ above
-  the untrained epoch-0 checkpoint) — beating the noisy baseline needs
-  ~100x more steps than a proxy run (the reference's published CDiffuSE
-  is likewise its weakest family, inference_gan.py:169-174).
+Both families must BEAT the noisy baseline on their checked-in runs:
+tsc-diffuse does it in 60 epochs; waveform DiffuSE needs the 300-epoch
+budget (a 60-epoch arm plateaued below noisy — see the "Reading these
+numbers honestly" section of docs/diffusion_waveform_proxy_run.md; the
+reference's published CDiffuSE is likewise its weakest family,
+inference_gan.py:169-174).  The waveform arm additionally pins the
+improves-with-training trajectory via the machine-readable record.
 """
 
 import json
@@ -43,7 +41,11 @@ def test_waveform_diffusion_proxy_improves_with_training():
     name = "diffusion_waveform_proxy_run.md"
     if not os.path.exists(os.path.join(DOCS, name)):
         pytest.skip("waveform diffusion proxy not yet run on this machine")
-    best, _, _ = _summary(name)
+    best, _, delta = _summary(name)
+    assert delta > 0, (
+        f"the 300-epoch waveform run must beat noisy (Δ={delta}); a "
+        f"60-epoch budget is known-insufficient for this family"
+    )
     record = os.path.join(DOCS, "diffusion_diffuse.json")
     assert os.path.exists(record), "machine-readable record missing"
     per_epoch = json.load(open(record))["per_epoch"]
