@@ -37,7 +37,12 @@ def make_spectrum(
     (features [F, T], phase, length)."""
     if y is None:
         y, sr = load_wav(filename, 16000)
-    y = y / np.max(np.abs(y))
+    # Peak-normalize, guarding the all-silent input (the reference's
+    # unconditional y / max(|y|) at cdiffuse/preprocess.py:48 emits a NaN
+    # spectrogram for a silent wav, which would poison training quietly).
+    peak = np.max(np.abs(y)) if len(y) else 0.0
+    if peak > 0:
+        y = y / peak
     window = sp_signal.get_window("hamming", frame_length)
     # librosa.stft semantics: centered, reflect-padded
     pad = frame_length // 2

@@ -76,7 +76,11 @@ class DiffuSELearner:
 
     # -- training loop (learner.py:123-168) -------------------------------
     def train(self, max_steps: int | None = None, rng_seed: int = 0):
-        rng = jax.random.PRNGKey(rng_seed)
+        # Per-step rng is fold_in(base, step), not a split chain: a run
+        # resumed from a checkpoint continues the exact noise/timestep
+        # stream of the original run (a split chain would restart from
+        # PRNGKey(seed) while the data stream advances).
+        base_rng = jax.random.PRNGKey(rng_seed)
         # Advance the loader's epoch on every pass: DataLoader draws ALL
         # crop/shuffle randomness from (seed, epoch, shard, batch), so a
         # never-advancing epoch would feed byte-identical batches — the
@@ -101,7 +105,7 @@ class DiffuSELearner:
                     return self.state
                 if batch.audio.shape[0] == 0:
                     continue
-                rng, step_rng = jax.random.split(rng)
+                step_rng = jax.random.fold_in(base_rng, self.step)
                 t0 = time.time()
                 self.state, loss, grad_norm = diffuse_step(
                     self.state, batch.audio, batch.noisy,

@@ -37,6 +37,14 @@ def test_make_spectrum_shape(wav_dir):
     assert np.all(Sxx >= 0)  # log1p of magnitudes
 
 
+def test_make_spectrum_silent_input_is_finite():
+    """Peak normalization must not NaN a silent signal (the reference's
+    cdiffuse/preprocess.py:48 divides by max(|y|) unconditionally)."""
+    Sxx, phase, length = make_spectrum(y=np.zeros(4000, np.float32))
+    assert np.all(np.isfinite(Sxx))
+    assert length == 4000
+
+
 def test_mel_transform_range():
     rng = np.random.default_rng(1)
     y = 0.3 * rng.standard_normal(16000).astype(np.float32)
@@ -175,3 +183,52 @@ def test_learner_midpass_resume_skips_consumed_batches(tmp_path, monkeypatch):
     lr2.step = 3
     lr2.train(max_steps=6)
     assert consumed == [11.0, 20.0, 21.0], consumed
+
+
+def test_learner_resume_continues_rng_stream(tmp_path, monkeypatch):
+    """The per-step rng is fold_in(base, step): a resumed run draws the
+    exact noise/timestep keys the continuous run would have drawn at the
+    same steps (a split chain would restart the stream from PRNGKey(seed)
+    while the data stream advances)."""
+    import types
+
+    from speech_enhancement_tpu.data.voicebank import Batch
+    from speech_enhancement_tpu.train import learner as learner_mod
+
+    class FakeLoader:
+        def set_epoch(self, e):
+            pass
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            a = np.zeros((1, 100), np.float32)
+            for _ in range(2):
+                yield Batch(audio=a, noisy=a, pesq_clean=None,
+                            pesq_noisy=None)
+
+    keys = []
+    monkeypatch.setattr(
+        learner_mod, "diffuse_step",
+        lambda state, audio, noisy, sched, rng, **k: (
+            keys.append(np.asarray(rng).tolist()) or
+            (state, np.float32(0.1), np.float32(0.0))
+        ),
+    )
+    mk = lambda: learner_mod.DiffuSELearner(  # noqa: E731
+        str(tmp_path), model=None,
+        state=types.SimpleNamespace(step=0), tx=None,
+        dataset=FakeLoader(), noise_schedule=None, criterion=None,
+        summary_every=10_000,
+    )
+    lr = mk()
+    monkeypatch.setattr(lr, "save_to_checkpoint", lambda *a, **k: None)
+    lr.train(max_steps=6, rng_seed=5)
+    continuous, _ = keys[:], keys.clear()
+
+    lr2 = mk()
+    monkeypatch.setattr(lr2, "save_to_checkpoint", lambda *a, **k: None)
+    lr2.step = 3  # as if restored from a mid-pass checkpoint
+    lr2.train(max_steps=6, rng_seed=5)
+    assert keys == continuous[3:], (keys, continuous)
