@@ -201,6 +201,11 @@ def main() -> int:
         "|---|---|---|---|---|---|---|",
         "| noisy (baseline) | " + " | ".join(f"{v:.3f}" for v in base) + " |",
     ]
+    if not rows:
+        raise SystemExit(
+            "no restorable epoch checkpoints found to sweep — training "
+            "output layout mismatch or an aborted run?"
+        )
     for epoch, m in rows:
         lines.append(f"| epoch {epoch} | " +
                      " | ".join(f"{v:.3f}" for v in m) + " |")

@@ -36,6 +36,7 @@ def _verify_against_template(converted: dict, n_fft: int, hop: int,
     template's, so the written checkpoint always restores against the
     fp32 inference template."""
     import jax
+    import numpy as np
     import optax
 
     from speech_enhancement_tpu.models import Discriminator, TSCNet
@@ -71,8 +72,6 @@ def _verify_against_template(converted: dict, n_fft: int, hop: int,
                     f"{name}{key}: shape {tuple(got.shape)} != expected "
                     f"{tuple(tmpl_leaf.shape)}"
                 )
-
-        import numpy as np
 
         def _cast(conv_leaf, tmpl_leaf):
             arr = np.asarray(conv_leaf)

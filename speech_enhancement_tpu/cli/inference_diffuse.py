@@ -8,6 +8,7 @@ per-step loop is the jitted lax.scan samplers in train.diffusion.
 from __future__ import annotations
 
 import argparse
+import os
 from glob import glob
 from pathlib import Path
 
@@ -109,7 +110,10 @@ def predict_batch(model, variables, args, config, signals, schedule, rng):
     hop = config.HOP_SAMPLES
     lengths = [len(s) for s in signals]
     singleton = len(signals) == 1 and args.sampler_batch == 1
-    quantum = hop if singleton else 8000
+    # round_to_bucket asserts quantum % hop == 0; HOP_SAMPLES is config-
+    # overridable, so derive the ~0.5 s quantum from the hop instead of
+    # hard-coding 8000 (which only divides by the default hop=100)
+    quantum = hop if singleton else max(hop, 8000 - 8000 % hop)
     bucket = round_to_bucket(max(lengths), quantum=quantum, hop=hop)
     if args.arch.startswith("diffuse"):
         if singleton:
@@ -154,8 +158,12 @@ def inference(args, config, model_path, data_paths):
 
     noisies, cleans = [], []
     for path in data_paths:
-        clean_path = path.replace(config.DATA.TEST_NOISY_DIR,
-                                  config.DATA.TEST_CLEAN_DIR)
+        # join on the basename, NOT str.replace on the dir: with a
+        # relative or repeated dir string the substring replace rewrites
+        # the wrong path component and loads a missing (or worse, wrong)
+        # clean reference
+        clean_path = os.path.join(config.DATA.TEST_CLEAN_DIR,
+                                  os.path.basename(path))
         noisies.append(load_wav(path, config.SAMPLE_RATE)[0])
         cleans.append(load_wav(clean_path, config.SAMPLE_RATE)[0])
 

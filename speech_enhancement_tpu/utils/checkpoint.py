@@ -105,9 +105,17 @@ def sweep_checkpoints(
              if p.name.split("_", 1)[1].isdigit()),
             key=lambda ep: (ep[0], ep[1].name),
         )
+        # one entry per epoch: a dir holding both the padded name this
+        # framework writes (checkpoint_0005) and a foreign unpadded twin
+        # (checkpoint_5) would otherwise evaluate the epoch twice, and
+        # the later duplicate's score would silently win best-epoch.
+        # Sorted by (epoch, name), the zero-padded dir sorts first and is
+        # the one kept.
+        seen: set[int] = set()
         pairs = [(e, p) for e, p in found
                  if (start is None or e >= start)
-                 and (end is None or e < end)]
+                 and (end is None or e < end)
+                 and not (e in seen or seen.add(e))]
     return [(e, p) for e, p in pairs if restorable(e, p)]
 
 

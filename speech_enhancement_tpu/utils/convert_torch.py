@@ -243,13 +243,22 @@ def convert_checkpoint(path: str) -> dict:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+
+    def _np(v):
+        # torch bfloat16 has no numpy dtype: Tensor.numpy() raises
+        # TypeError, so a bf16 fine-tuned reference checkpoint would crash
+        # here before the template-dtype cast ever ran.  Upcast ONLY bf16
+        # (float() on int tensors like BN num_batches_tracked would
+        # corrupt them).
+        return (v.float() if v.dtype == torch.bfloat16 else v).numpy()
+
     out = {}
     if "gen_state_dict" in ckpt:
         out["gen"] = convert_tscnet(
-            {k: v.numpy() for k, v in ckpt["gen_state_dict"].items()}
+            {k: _np(v) for k, v in ckpt["gen_state_dict"].items()}
         )
     if "disc_state_dict" in ckpt:
         out["disc"] = convert_discriminator(
-            {k: v.numpy() for k, v in ckpt["disc_state_dict"].items()}
+            {k: _np(v) for k, v in ckpt["disc_state_dict"].items()}
         )
     return out

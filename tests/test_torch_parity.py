@@ -128,6 +128,39 @@ def test_convert_checkpoint_cli(ref_modules, tmp_path):
     assert dtypes == {np.dtype(np.float32)}
 
 
+def test_convert_checkpoint_bf16(ref_modules, tmp_path):
+    """A bf16 fine-tuned reference checkpoint must convert, not crash:
+    torch bfloat16 has no numpy dtype, so an unguarded Tensor.numpy()
+    raises TypeError before any dtype handling runs.  Values must match
+    the fp32 conversion within bf16 quantization."""
+    from speech_enhancement_tpu.utils.convert_torch import convert_checkpoint
+
+    TorchTSCNet, _ = ref_modules
+    torch.manual_seed(3)
+    tm = TorchTSCNet(num_channel=64, num_features=201)
+    sd = tm.state_dict()
+    bf16_sd = {
+        k: (v.bfloat16() if v.is_floating_point() else v)
+        for k, v in sd.items()
+    }
+    ckpt = tmp_path / "bf16.pth.tar"
+    torch.save({"gen_state_dict": bf16_sd}, ckpt)
+    got = convert_checkpoint(str(ckpt))["gen"]
+
+    torch.save({"gen_state_dict": sd}, ckpt)
+    want = convert_checkpoint(str(ckpt))["gen"]
+    import jax
+
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(
+            np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max()
+            / (np.abs(np.asarray(b, np.float64)).max() + 1e-12)
+        ),
+        got, want,
+    )
+    assert max(jax.tree_util.tree_leaves(rel)) < 1e-2  # bf16 mantissa
+
+
 def test_discriminator_parity(ref_modules):
     import jax.numpy as jnp
 

@@ -244,3 +244,34 @@ def test_predict_batch_singleton_matches_predict(rng):
         wbatched = predict_batch(wmodel, wvs, wargs, cfg, [wsig], sched,
                                  key)[0]
         np.testing.assert_array_equal(wserial, wbatched)
+
+
+def test_predict_batch_non_default_hop(rng):
+    """round_to_bucket asserts quantum % hop == 0; HOP_SAMPLES is config-
+    overridable, so the batched path must derive its ~0.5 s bucket
+    quantum from the hop — a hard-coded 8000 crashes every non-singleton
+    chunk for e.g. hop=256 (8000 % 256 != 0)."""
+    from types import SimpleNamespace
+
+    from speech_enhancement_tpu.cli.inference_diffuse import predict_batch
+    from speech_enhancement_tpu.ops import compressed_stft
+
+    cfg = SimpleNamespace(HOP_SAMPLES=256, N_FFT=400)
+    sched = inference_schedule(
+        linear_noise_schedule(50), [0.0001, 0.001, 0.01, 0.05, 0.2, 0.35],
+        fast=True,
+    )
+    model = DiffusionTSCNet(num_channel=8, num_features=201, num_steps=50)
+    spec = compressed_stft(jnp.zeros((1, L)), 400, 256)
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec, spec, jnp.array([0.0]),
+    )
+    args = SimpleNamespace(arch="tsc-diffuse", comp_type="pow",
+                           sampler_batch=2)
+    sig = 0.1 * rng.standard_normal(L).astype(np.float32)
+    short = 0.1 * rng.standard_normal(L - 700).astype(np.float32)
+    outs = predict_batch(model, vs, args, cfg, [sig, short], sched,
+                         jax.random.PRNGKey(7))
+    assert [len(o) for o in outs] == [L, L - 700]
+    assert all(np.isfinite(o).all() for o in outs)

@@ -81,11 +81,18 @@ def test_sweep_checkpoints(tmp_path):
                       ("checkpoint_0002", "variables"),
                       ("checkpoint_0001", "state"),      # preemption: skip
                       ("checkpoint_5", "variables"),     # unpadded foreign
+                      ("checkpoint_0005", "variables"),  # padded twin: dedup
+                      ("checkpoint_7", "variables"),     # unpadded, no twin
                       ("model_best", "variables")):      # non-numeric: ignored
         os.makedirs(os.path.join(str(tmp_path), name, sub))
+    # one entry per epoch: the padded twin wins over checkpoint_5, which
+    # must NOT appear a second time (a duplicate epoch would be evaluated
+    # twice and the later score would silently win best-epoch); a foreign
+    # unpadded name without a twin still restores from its real directory
     got = sweep_checkpoints(str(tmp_path))
     assert [(e, p.name) for e, p in got] == [
-        (0, "checkpoint_0000"), (2, "checkpoint_0002"), (5, "checkpoint_5"),
+        (0, "checkpoint_0000"), (2, "checkpoint_0002"),
+        (5, "checkpoint_0005"), (7, "checkpoint_7"),
     ]
     # range filter applies to discovered checkpoints too
     got = sweep_checkpoints(str(tmp_path), start=1, end=5)
