@@ -24,7 +24,6 @@ Usage (TPU, ~70 min at the defaults):
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 
@@ -41,7 +40,11 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-from train_quality_proxy import SR, make_corpus  # noqa: E402
+from train_quality_proxy import (  # noqa: E402
+    SR,
+    make_corpus,
+    write_proxy_report,
+)
 
 
 def main() -> int:
@@ -151,41 +154,17 @@ def main() -> int:
         "noisy at the",
         "final step (reference cdiffuse/inference.py:136-163).  Generated by",
         "`scripts/train_cdiffuse_proxy.py` on one TPU v5e chip.",
-        "",
-        "| checkpoint | PESQ | CSIG | CBAK | COVL | SSNR | STOI |",
-        "|---|---|---|---|---|---|---|",
-        "| noisy (baseline) | " + " | ".join(f"{v:.3f}" for v in base) + " |",
     ]
-    for step, m in rows:
-        lines.append(f"| step {step} | " +
-                     " | ".join(f"{v:.3f}" for v in m) + " |")
-    best = max(rows, key=lambda r: r[1][0])
-    lines += [
-        "",
-        f"Best step {best[0]}: PESQ {best[1][0]:.3f} vs noisy {base[0]:.3f} "
-        f"(Δ {best[1][0] - base[0]:+.3f}); "
-        f"STOI {best[1][5]:.3f} vs {base[5]:.3f} "
-        f"(Δ {best[1][5] - base[5]:+.3f}).",
-    ]
-    report_dir = os.path.dirname(args.report)
-    if report_dir:
-        os.makedirs(report_dir, exist_ok=True)
-    with open(args.report, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines[-2:]))
-
     tag = "_fast" if args.fast else ""
-    with open(os.path.join(args.root, f"cdiffuse{tag}.json"), "w") as f:
-        json.dump({
+    return write_proxy_report(
+        args.report, lines, base, rows, "step",
+        os.path.join(args.root, f"cdiffuse{tag}.json"),
+        {
             "fast": bool(args.fast), "max_steps": args.max_steps,
             "seed": args.train_seed, "batch_size": args.batch_size,
-            "noisy": [float(v) for v in base],
-            "per_step": {str(s): [float(v) for v in m] for s, m in rows},
-        }, f, indent=1)
-
-    ok = best[1][0] > base[0]
-    print("RESULT:", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+        },
+        "per_step",
+    )
 
 
 if __name__ == "__main__":

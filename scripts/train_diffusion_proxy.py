@@ -22,7 +22,6 @@ Usage (TPU, ~25 min at the defaults):
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 
@@ -39,7 +38,11 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-from train_quality_proxy import SR, make_corpus  # noqa: E402
+from train_quality_proxy import (  # noqa: E402
+    SR,
+    make_corpus,
+    write_proxy_report,
+)
 
 
 def main() -> int:
@@ -151,43 +154,18 @@ def main() -> int:
         "`cli.inference_diffuse`",
         "(reference inference_diffuse.py:117-269).  Generated by",
         "`scripts/train_diffusion_proxy.py` on one TPU v5e chip.",
-        "",
-        "| checkpoint | PESQ | CSIG | CBAK | COVL | SSNR | STOI |",
-        "|---|---|---|---|---|---|---|",
-        "| noisy (baseline) | " + " | ".join(f"{v:.3f}" for v in base) + " |",
     ]
-    for epoch, m in rows:
-        lines.append(f"| epoch {epoch} | " +
-                     " | ".join(f"{v:.3f}" for v in m) + " |")
-    best = max(rows, key=lambda r: r[1][0])
-    lines += [
-        "",
-        f"Best epoch {best[0]}: PESQ {best[1][0]:.3f} vs noisy {base[0]:.3f} "
-        f"(Δ {best[1][0] - base[0]:+.3f}); "
-        f"STOI {best[1][5]:.3f} vs {base[5]:.3f} "
-        f"(Δ {best[1][5] - base[5]:+.3f}).",
-    ]
-    report_dir = os.path.dirname(args.report)
-    if report_dir:
-        os.makedirs(report_dir, exist_ok=True)
-    with open(args.report, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines[-2:]))
-
     tag = "_fast" if args.fast else ""
-    with open(os.path.join(args.root,
-                           f"diffusion_{args.arch}{tag}.json"), "w") as f:
-        json.dump({
+    return write_proxy_report(
+        args.report, lines, base, rows, "epoch",
+        os.path.join(args.root, f"diffusion_{args.arch}{tag}.json"),
+        {
             "arch": args.arch, "fast": bool(args.fast),
             "epochs": args.epochs, "seed": args.train_seed,
             "lr": args.lr, "batch_size": args.batch_size,
-            "noisy": [float(v) for v in base],
-            "per_epoch": {str(e): [float(v) for v in m] for e, m in rows},
-        }, f, indent=1)
-
-    ok = best[1][0] > base[0]
-    print("RESULT:", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+        },
+        "per_epoch",
+    )
 
 
 if __name__ == "__main__":

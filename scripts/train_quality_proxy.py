@@ -94,6 +94,64 @@ def make_corpus(root: str, n_train: int, n_test: int, seconds: float,
                      (clean + noise).astype(np.float32), SR)
 
 
+def write_proxy_report(report_path: str, preamble: list[str],
+                       base: np.ndarray, rows: list, row_label: str,
+                       record_path: str, record_fields: dict,
+                       per_key: str, require_stoi: bool = False) -> int:
+    """Shared report/summary/record writer for the three proxy scripts.
+
+    Builds the 6-metric markdown table (noisy baseline + one row per
+    swept checkpoint), the ``Best <label> N: PESQ X vs noisy Y (Δ Z)``
+    summary line that tests/test_quality_proxy.py and
+    tests/test_diffusion_proxy.py regex-parse, and the machine-readable
+    JSON record; prints the summary and the PASS/FAIL gate (PESQ must
+    beat noisy; ``require_stoi`` adds STOI >= noisy).  Returns the
+    process exit code.  Kept in ONE place so a format tweak cannot
+    silently break the pinned regex in two of the three scripts.
+    """
+    import json
+
+    if not rows:
+        raise SystemExit(
+            "no restorable checkpoints found to sweep — training output "
+            "layout mismatch or an aborted run?"
+        )
+    lines = list(preamble) + [
+        "",
+        "| checkpoint | PESQ | CSIG | CBAK | COVL | SSNR | STOI |",
+        "|---|---|---|---|---|---|---|",
+        "| noisy (baseline) | " + " | ".join(f"{v:.3f}" for v in base) + " |",
+    ]
+    for key, m in rows:
+        lines.append(f"| {row_label} {key} | " +
+                     " | ".join(f"{v:.3f}" for v in m) + " |")
+    best = max(rows, key=lambda r: r[1][0])
+    lines += [
+        "",
+        f"Best {row_label} {best[0]}: PESQ {best[1][0]:.3f} vs noisy "
+        f"{base[0]:.3f} (Δ {best[1][0] - base[0]:+.3f}); "
+        f"STOI {best[1][5]:.3f} vs {base[5]:.3f} "
+        f"(Δ {best[1][5] - base[5]:+.3f}).",
+    ]
+    report_dir = os.path.dirname(report_path)
+    if report_dir:
+        os.makedirs(report_dir, exist_ok=True)
+    with open(report_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[-2:]))
+
+    with open(record_path, "w") as f:
+        json.dump({
+            **record_fields,
+            "noisy": [float(v) for v in base],
+            per_key: {str(k): [float(v) for v in m] for k, m in rows},
+        }, f, indent=1)
+
+    ok = best[1][0] > base[0] and (not require_stoi or best[1][5] >= base[5])
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/quality_proxy")
@@ -185,7 +243,7 @@ def main() -> int:
         rows.append((epoch, m))
         print(f"epoch {epoch}: pesq {m[0]:.3f} stoi {m[5]:.3f}", flush=True)
 
-    lines = [
+    preamble = [
         "# Training-to-quality proxy run (synthetic corpus)",
         "",
         f"Full-size {args.arch.upper()}-GAN trained from scratch with "
@@ -196,53 +254,22 @@ def main() -> int:
         "(reference inference_gan.py:134-152). Generated by",
         f"`scripts/train_quality_proxy.py` on one TPU v5e chip "
         f"({args.precision} training).",
-        "",
-        "| checkpoint | PESQ | CSIG | CBAK | COVL | SSNR | STOI |",
-        "|---|---|---|---|---|---|---|",
-        "| noisy (baseline) | " + " | ".join(f"{v:.3f}" for v in base) + " |",
     ]
-    if not rows:
-        raise SystemExit(
-            "no restorable epoch checkpoints found to sweep — training "
-            "output layout mismatch or an aborted run?"
-        )
-    for epoch, m in rows:
-        lines.append(f"| epoch {epoch} | " +
-                     " | ".join(f"{v:.3f}" for v in m) + " |")
-    best = max(rows, key=lambda r: r[1][0])
-    lines += [
-        "",
-        f"Best epoch {best[0]}: PESQ {best[1][0]:.3f} vs noisy {base[0]:.3f} "
-        f"(Δ {best[1][0] - base[0]:+.3f}); "
-        f"STOI {best[1][5]:.3f} vs {base[5]:.3f} "
-        f"(Δ {best[1][5] - base[5]:+.3f}).",
-    ]
-    os.makedirs(os.path.dirname(args.report), exist_ok=True)
-    with open(args.report, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("\n".join(lines[-2:]))
-
     # machine-readable per-arch record for the A/B comparison table
-    import json as _json
-
     tag = f"_{args.step_mode}" if args.step_mode else ""
     if args.train_seed != 3:  # seed-robustness arms don't clobber the base record
         tag += f"_s{args.train_seed}"
-    with open(os.path.join(args.root, f"ab_{args.arch}{tag}.json"), "w") as f:
-        _json.dump({
+    return write_proxy_report(
+        args.report, preamble, base, rows, "epoch",
+        os.path.join(args.root, f"ab_{args.arch}{tag}.json"),
+        {
             "arch": args.arch, "precision": args.precision,
             "fused_attention": bool(args.fused_attention),
             "step_mode": args.step_mode,
             "epochs": args.epochs, "seed": args.train_seed,
-            "noisy": [float(v) for v in base],
-            "per_epoch": {
-                str(e): [float(v) for v in m] for e, m in rows
-            },
-        }, f, indent=1)
-
-    ok = best[1][0] > base[0] and best[1][5] >= base[5]
-    print("RESULT:", "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+        },
+        "per_epoch", require_stoi=True,
+    )
 
 
 if __name__ == "__main__":

@@ -29,3 +29,57 @@ def test_quality_proxy_artifact():
     pesq_delta, stoi_delta = float(m.group(3)), float(m.group(6))
     assert pesq_delta > 0, f"enhanced PESQ must beat noisy (Δ={pesq_delta})"
     assert stoi_delta >= 0, f"enhanced STOI must not regress (Δ={stoi_delta})"
+
+
+def test_write_proxy_report_format(tmp_path):
+    """The shared report writer (used by all three proxy scripts) must
+    emit the exact summary line these artifact tests regex-parse, write
+    the machine-readable record, and gate PASS/FAIL on beating noisy.
+    Runs the helper directly so a format tweak fails HERE, not at the
+    end of an hour-long TPU run."""
+    import json
+
+    import jax
+    import numpy as np
+
+    # importing the script module sets the TPU compilation-cache dir at
+    # module level; restore the suite's CPU cache dir afterwards
+    old_cache = jax.config.jax_compilation_cache_dir
+    from scripts.train_quality_proxy import write_proxy_report
+    jax.config.update("jax_compilation_cache_dir", old_cache)
+
+    base = np.array([2.5, 1.0, 2.7, 1.0, 0.6, 0.80])
+    rows = [(0, np.array([1.4, 1.0, 1.6, 1.0, -6.7, 0.55])),
+            (9, np.array([3.1, 1.0, 2.9, 1.1, 1.9, 0.86]))]
+    report = tmp_path / "run.md"
+    record = tmp_path / "rec.json"
+    rc = write_proxy_report(str(report), ["# Title"], base, rows, "epoch",
+                            str(record), {"arch": "scp"}, "per_epoch",
+                            require_stoi=True)
+    assert rc == 0  # epoch 9 beats noisy on PESQ and STOI
+
+    text = report.read_text()
+    m = re.search(
+        r"Best epoch (\d+): PESQ ([\d.]+) vs noisy ([\d.]+) "
+        r"\(Δ ([+-][\d.]+)\); STOI ([\d.]+) vs ([\d.]+) \(Δ ([+-][\d.]+)\)",
+        text,
+    )
+    assert m, "summary line missing or format drifted"
+    assert m.group(1) == "9" and float(m.group(4)) > 0
+    assert "| epoch 9 | 3.100 |" in text
+    assert "| noisy (baseline) | 2.500 |" in text
+
+    rec = json.loads(record.read_text())
+    assert rec["arch"] == "scp"
+    assert rec["per_epoch"]["9"][0] == 3.1
+    assert rec["noisy"][0] == 2.5
+
+    # FAIL gate: best PESQ below noisy -> exit 1
+    rc = write_proxy_report(str(report), ["# T"], base, rows[:1], "step",
+                            str(record), {}, "per_step")
+    assert rc == 1
+
+    # empty sweep fails loudly, before any report is written
+    with pytest.raises(SystemExit):
+        write_proxy_report(str(report), ["# T"], base, [], "epoch",
+                           str(record), {}, "per_epoch")
