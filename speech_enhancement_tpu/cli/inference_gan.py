@@ -9,6 +9,7 @@ the per-utterance Python loop.
 from __future__ import annotations
 
 import argparse
+import os
 from glob import glob
 from pathlib import Path
 
@@ -105,8 +106,11 @@ def inference(args, config, model_path, data_paths):
 
     noisy_sigs, clean_sigs = [], []
     for noisy_path in data_paths:
-        clean_path = noisy_path.replace(
-            config.DATA.TEST_NOISY_DIR, config.DATA.TEST_CLEAN_DIR
+        # pair on the BASENAME: str.replace of TEST_NOISY_DIR inside the
+        # path mis-rewrites relative/repeated dir substrings and can load
+        # a wrong clean reference (same fix as inference_diffuse)
+        clean_path = os.path.join(
+            config.DATA.TEST_CLEAN_DIR, os.path.basename(noisy_path)
         )
         noisy_sigs.append(load_wav(noisy_path, config.SAMPLE_RATE)[0])
         clean_sigs.append(load_wav(clean_path, config.SAMPLE_RATE)[0])

@@ -81,6 +81,13 @@ class Enhancer:
         self.variables = variables
         self.n_fft = n_fft
         self.hop = hop
+        # hop-align the bucket quantum: round_to_bucket asserts
+        # quantum % hop == 0, and HOP_SAMPLES is config-overridable (a
+        # hop of e.g. 256 does not divide the default 8000) — derive the
+        # nearest not-larger hop multiple instead of crashing at the
+        # first enhance() call (same derivation as the diffuse CLI)
+        if quantum % hop != 0:
+            quantum = max(hop, quantum - quantum % hop)
         self.quantum = quantum
         self.dtype = dtype
         self.compute_dtype = compute_dtype

@@ -109,13 +109,23 @@ def sweep_checkpoints(
         # framework writes (checkpoint_0005) and a foreign unpadded twin
         # (checkpoint_5) would otherwise evaluate the epoch twice, and
         # the later duplicate's score would silently win best-epoch.
-        # Sorted by (epoch, name), the zero-padded dir sorts first and is
-        # the one kept.
+        # Prefer a RESTORABLE twin — a padded preemption-only dir (train
+        # state, no variables subtree) must not shadow a restorable
+        # unpadded twin of the same epoch, which the old
+        # dedup-before-filter order silently dropped from the sweep.
+        in_range = [(e, p) for e, p in found
+                    if (start is None or e >= start)
+                    and (end is None or e < end)]
         seen: set[int] = set()
-        pairs = [(e, p) for e, p in found
-                 if (start is None or e >= start)
-                 and (end is None or e < end)
-                 and not (e in seen or seen.add(e))]
+        pairs = []
+        for e, _ in in_range:
+            if e in seen:
+                continue
+            seen.add(e)
+            twins = [q for ee, q in in_range if ee == e]
+            keep = next((q for q in twins if (q / "variables").exists()),
+                        twins[0])
+            pairs.append((e, keep))
     return [(e, p) for e, p in pairs if restorable(e, p)]
 
 

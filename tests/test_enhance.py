@@ -28,6 +28,18 @@ def test_round_to_bucket():
     assert round_to_bucket(8001, 8000) == 16000
 
 
+def test_enhancer_hop_aligns_quantum(small_enhancer):
+    """A config hop that doesn't divide the default 8000-sample quantum
+    (e.g. 256) must not trip round_to_bucket's assert — Enhancer derives
+    the nearest not-larger hop multiple (diffuse-CLI derivation)."""
+    model, variables = small_enhancer
+    enh = Enhancer(model, variables, n_fft=400, hop=256)
+    assert enh.quantum == 8000 - 8000 % 256 and enh.quantum % 256 == 0
+    # degenerate case: quantum smaller than hop clamps to one hop
+    enh2 = Enhancer(model, variables, n_fft=400, hop=256, quantum=100)
+    assert enh2.quantum == 256
+
+
 def test_wrap_pad():
     x = np.arange(10, dtype=np.float32)
     y = wrap_pad(x, 25)

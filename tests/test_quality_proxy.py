@@ -42,11 +42,14 @@ def test_write_proxy_report_format(tmp_path):
     import jax
     import numpy as np
 
-    # importing the script module sets the TPU compilation-cache dir at
-    # module level; restore the suite's CPU cache dir afterwards
+    # importing the script module sets the TPU compilation-cache dir AND
+    # a 1s persistent-cache threshold at module level; restore both so
+    # the suite keeps conftest's CPU cache dir and 2s threshold
     old_cache = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
     from scripts.train_quality_proxy import write_proxy_report
     jax.config.update("jax_compilation_cache_dir", old_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
 
     base = np.array([2.5, 1.0, 2.7, 1.0, 0.6, 0.80])
     rows = [(0, np.array([1.4, 1.0, 1.6, 1.0, -6.7, 0.55])),

@@ -104,6 +104,18 @@ def test_sweep_checkpoints(tmp_path):
     ]
 
 
+def test_sweep_checkpoints_prefers_restorable_twin(tmp_path):
+    """A padded preemption-only dir (state, no variables) must not shadow
+    a restorable unpadded twin of the same epoch: dedup runs AFTER the
+    restorable preference, so the epoch stays in the sweep."""
+    from speech_enhancement_tpu.utils import sweep_checkpoints
+
+    os.makedirs(os.path.join(str(tmp_path), "checkpoint_0003", "state"))
+    os.makedirs(os.path.join(str(tmp_path), "checkpoint_3", "variables"))
+    got = sweep_checkpoints(str(tmp_path))
+    assert [(e, p.name) for e, p in got] == [(3, "checkpoint_3")]
+
+
 def test_preemption_guard():
     guard = PreemptionGuard()
     assert not guard.should_stop
