@@ -203,7 +203,7 @@ def main(argv=None):
     # align processes after the compile-heavy init/resume, before the
     # first collective (replaces the reference's post-init dist.barrier)
     barrier("post_init")
-    rng = jax.random.PRNGKey((args.seed or 0) + 2)
+    rng_base = jax.random.PRNGKey((args.seed or 0) + 2)
     guard = PreemptionGuard()
 
     compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
@@ -225,6 +225,10 @@ def main(argv=None):
 
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
+        # per-epoch rng stream (function of seed+epoch only) so a
+        # killed-and-resumed run replays the continuous run's noise/
+        # timestep draws exactly — same contract as main_gan
+        rng = jax.random.fold_in(rng_base, epoch)
         meter, batch_meter = AverageMeter(), AverageMeter()
         t_end = time.time()
         for idx, batch in enumerate(train_loader):

@@ -289,7 +289,7 @@ def main(argv=None):
     # first collective (replaces dist.barrier(), main_gan.py:142; see
     # parallel.barrier for why skew at the first all-reduce is fatal)
     barrier("post_init")
-    rng = jax.random.PRNGKey((args.seed or 0) + 1)
+    rng_base = jax.random.PRNGKey((args.seed or 0) + 1)
     loss_weights = tuple(config.LOSS_WEIGHTS)
 
     from concurrent.futures import ThreadPoolExecutor
@@ -331,6 +331,12 @@ def main(argv=None):
 
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
+        # per-epoch rng stream, a function of (seed, epoch) ONLY — like
+        # set_epoch for the loader, this makes `--resume auto` rng-
+        # continuous: a killed-and-resumed run replays the exact dropout/
+        # disc-rng stream a continuous run would have used (pinned
+        # bit-exact by tests/test_cli.py::test_main_gan_resume_bit_exact)
+        rng = jax.random.fold_in(rng_base, epoch)
         gan_active = epoch >= int(args.epochs * 0.3) or not args.gen_first
         gen_meter, disc_meter, batch_meter = (
             AverageMeter(), AverageMeter(), AverageMeter(),

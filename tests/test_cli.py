@@ -201,6 +201,74 @@ def test_main_gan_resume_auto(tiny_dataset, monkeypatch):
 
 
 @pytest.mark.slow
+def test_main_gan_resume_bit_exact(tiny_dataset, monkeypatch):
+    """A run killed after an end-of-epoch checkpoint and resumed with
+    `--resume auto` must produce BIT-IDENTICAL final variables to a
+    continuous run: the loader (set_epoch), the schedule (step-indexed
+    opt_state in the checkpoint) and — since the per-epoch fold_in rng —
+    the dropout/disc rng stream are all functions of (seed, epoch) only."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    root, cfg = tiny_dataset
+    import speech_enhancement_tpu.cli.main_gan as mg
+
+    for name, fn in (
+        ("TSCNet", lambda num_channel, num_features, fused_attention=False:
+            __import__("speech_enhancement_tpu.models",
+                       fromlist=["TSCNet"]).TSCNet(
+                num_channel=8, num_features=num_features,
+                fused_attention=fused_attention)),
+        ("Discriminator", lambda ndf: __import__(
+            "speech_enhancement_tpu.models",
+            fromlist=["Discriminator"]).Discriminator(ndf=4)),
+    ):
+        monkeypatch.setattr(mg, name, fn)
+
+    def run(out, argv):
+        return mg.main(["-a", "cmgan", "--cfg", cfg, "--output", str(out),
+                        "--seed", "3", "-j", "2", "-p", "1",
+                        "--n-devices", "1", "--epochs", "3"] + argv)
+
+    # continuous control: 3 epochs in one process
+    run(root / "out_cont", [])
+
+    # interrupted arm: same 3-epoch schedule, killed right after the
+    # epoch-0 checkpoint lands (monkeypatched save raises — the moral
+    # equivalent of SIGKILL between epochs), then resumed
+    real_save = mg.save_checkpoint
+
+    class Killed(Exception):
+        pass
+
+    def save_and_die(state, output, epoch, *a, **kw):
+        real_save(state, output, epoch, *a, **kw)
+        if epoch == 0:
+            raise Killed
+
+    monkeypatch.setattr(mg, "save_checkpoint", save_and_die)
+    with pytest.raises(Killed):
+        run(root / "out_kill", [])
+    monkeypatch.setattr(mg, "save_checkpoint", real_save)
+    run(root / "out_kill", ["--resume", "auto"])
+
+    ckptr = ocp.StandardCheckpointer()
+    a = ckptr.restore(
+        (root / "out_cont" / "cmgan" / "default" / "checkpoint_0002" /
+         "variables").resolve())
+    b = ckptr.restore(
+        (root / "out_kill" / "cmgan" / "default" / "checkpoint_0002" /
+         "variables").resolve())
+    mism = [
+        p for (p, x), (_, y) in zip(
+            jax.tree_util.tree_flatten_with_path(a)[0],
+            jax.tree_util.tree_flatten_with_path(b)[0])
+        if not (x == y).all()
+    ]
+    assert not mism, f"resume diverged from continuous at {mism[:5]}"
+
+
+@pytest.mark.slow
 def test_main_gan_init_from_variables(tiny_dataset, monkeypatch):
     """--init-from seeds the model weights from a checkpoint's
     'variables' subtree (the fine-tune path for cli.convert_checkpoint
