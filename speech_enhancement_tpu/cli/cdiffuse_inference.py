@@ -48,6 +48,26 @@ def load_model(model_dir: str, params=None):
     key = os.path.abspath(model_dir)
     if key in _model_cache:
         return _model_cache[key]
+    if (Path(model_dir) / "variables").exists():
+        # converted reference weights.pt (cli.convert_checkpoint writes
+        # the model variables alone — no learner/optimizer state).  The
+        # model config is inferred FROM the weights rather than PARAMS:
+        # upstream checkpoints carry the vendored 16x upsampler
+        # (cdiffuse/model.py:74-77, hop 256) while this framework's
+        # trainer uses the hop-consistent 10x10 one — both serve, each
+        # with its own self-consistent framing (model.hop_length)
+        import orbax.checkpoint as ocp
+
+        from speech_enhancement_tpu.cli.convert_checkpoint import (
+            _infer_diffuse_model,
+        )
+
+        raw = ocp.StandardCheckpointer().restore(
+            (Path(model_dir) / "variables").resolve()
+        )
+        out = (_infer_diffuse_model(raw), raw)
+        _model_cache[key] = out
+        return out
     model = DiffuSE(
         dilation_cycle_length=p["dilation_cycle_length"],
         hop_length=p["hop_samples"],
@@ -87,9 +107,12 @@ def predict(noisy_signal: np.ndarray, model_dir: str, fast: bool = False,
         fast=fast,
     )
     x = jnp.asarray(noisy_signal[None, :], jnp.float32)
+    # frame with the MODEL's hop so the upsampled conditioner lines up
+    # with the audio (a converted upstream checkpoint has hop 256; the
+    # learner-trained model equals PARAMS['hop_samples'])
     audio = sample_waveform(model, variables, x, schedule,
                             jax.random.PRNGKey(seed),
-                            hop=PARAMS["hop_samples"], n_fft=PARAMS["n_fft"],
+                            hop=model.hop_length, n_fft=PARAMS["n_fft"],
                             clamp_every_step=True)
     return np.asarray(audio)[0][: len(noisy_signal)]
 

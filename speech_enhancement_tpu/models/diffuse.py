@@ -26,10 +26,22 @@ from speech_enhancement_tpu.models.layers import (
 
 
 def _build_embedding_table(max_steps: int) -> np.ndarray:
-    """Sin/cos table [T, 128]: steps * 10^(dims*4/63) (DiffuSE.py:64-69)."""
-    steps = np.arange(max_steps)[:, None]
-    dims = np.arange(64)[None, :]
-    table = steps * 10.0 ** (dims * 4.0 / 63.0)
+    """Sin/cos table [T, 128]: steps * 10^(dims*4/63) (DiffuSE.py:64-69).
+
+    The whole computation must stay in float32 like torch's (int64 tensor
+    * python float promotes to the float32 default dtype there): the
+    phase reaches steps * 10^4 ≈ 5e5 radians, where float32 rounding of
+    the ARGUMENT shifts sin() by ~0.03 — building the table in float64
+    and casting at the end produces a measurably different embedding
+    (1.6e-3 rel) than the one reference checkpoints were trained with."""
+    steps = np.arange(max_steps, dtype=np.float32)[:, None]
+    dims = np.arange(64, dtype=np.float32)[None, :]
+    # torch's float32 pow is correctly rounded from the f64 result while
+    # numpy's f32 pow is ~1 ulp off — at 10^4 scale that ulp becomes a
+    # 0.05 rad phase shift, so compute the factor in f64 and round
+    expo = (dims * np.float32(4.0) / np.float32(63.0)).astype(np.float64)
+    factor = (np.float64(10.0) ** expo).astype(np.float32)
+    table = steps * factor
     return np.concatenate([np.sin(table), np.cos(table)], axis=1).astype(np.float32)
 
 
