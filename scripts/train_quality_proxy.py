@@ -36,15 +36,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 SR = 16000
 
 
-def synth_speech(rng: np.random.Generator, seconds: float) -> np.ndarray:
+# two synthetic "speakers": a low-pitch profile (the original corpus) and
+# a higher-pitch one with shifted formant ranges — VoiceBank-DEMAND mixes
+# speakers, and an arch ranking measured on one voice could be
+# speaker-specific (VERDICT r4 weak #4)
+SPEAKERS = (
+    dict(f0=(90, 220), formants=([400, 900, 2200], [800, 1800, 3200])),
+    dict(f0=(165, 330), formants=([550, 1100, 2500], [950, 2100, 3700])),
+)
+
+
+def synth_speech(rng: np.random.Generator, seconds: float,
+                 speaker: int = 0) -> np.ndarray:
     """Speech-like carrier: harmonic pulse train with random f0 contour,
     formant-shaped spectrum, and a syllabic (2-6 Hz) amplitude envelope."""
+    prof = SPEAKERS[speaker]
     n = int(seconds * SR)
     t = np.arange(n) / SR
-    f0 = rng.uniform(90, 220) * (1 + 0.08 * np.sin(2 * np.pi * rng.uniform(1, 3) * t))
+    f0 = rng.uniform(*prof["f0"]) * (
+        1 + 0.08 * np.sin(2 * np.pi * rng.uniform(1, 3) * t)
+    )
     phase = 2 * np.pi * np.cumsum(f0) / SR
     sig = np.zeros(n)
-    formants = rng.uniform([400, 900, 2200], [800, 1800, 3200])
+    formants = rng.uniform(*prof["formants"])
     for k in range(1, 40):
         fk = k * np.mean(f0)
         if fk > 4000:
@@ -62,20 +76,49 @@ def synth_speech(rng: np.random.Generator, seconds: float) -> np.ndarray:
     return (0.05 * sig / (np.sqrt((sig ** 2).mean()) + 1e-9)).astype(np.float32)
 
 
-def synth_noise(rng: np.random.Generator, n: int) -> np.ndarray:
-    """Stationary pink-ish noise (one-pole lowpassed white noise)."""
-    w = rng.standard_normal(n + 1)
-    a = 0.9
-    out = np.empty(n + 1)
-    out[0] = w[0]
-    for i in range(1, n + 1):
-        out[i] = a * out[i - 1] + (1 - a) * w[i]
-    out = out[1:]
+NOISE_FAMILIES = ("pink", "white", "band", "babble")
+
+
+def synth_noise(rng: np.random.Generator, n: int,
+                family: str = "pink") -> np.ndarray:
+    """One noise utterance of the given family.  ``pink`` (one-pole
+    lowpassed white) is the original corpus; ``white``/``band``
+    (random-passband bandpass)/``babble`` (a sum of competing synthetic
+    voices, amplitude-modulated and non-stationary like cafe noise)
+    approximate the spread of VoiceBank-DEMAND's 10 recorded noise types
+    (reference README.md:21)."""
+    if family == "white":
+        out = rng.standard_normal(n)
+    elif family == "band":
+        from scipy import signal as sps
+
+        lo = rng.uniform(300, 1200)
+        hi = lo + rng.uniform(800, 2800)
+        b, a = sps.butter(4, [lo / (SR / 2), hi / (SR / 2)], "band")
+        out = sps.lfilter(b, a, rng.standard_normal(n))
+    elif family == "babble":
+        out = np.zeros(n)
+        for _ in range(4):
+            v = synth_speech(rng, n / SR, speaker=int(rng.integers(2)))
+            out[: len(v)] += v[:n]
+    else:  # pink
+        w = rng.standard_normal(n + 1)
+        a = 0.9
+        out = np.empty(n + 1)
+        out[0] = w[0]
+        for i in range(1, n + 1):
+            out[i] = a * out[i - 1] + (1 - a) * w[i]
+        out = out[1:]
     return (out / (np.sqrt((out ** 2).mean()) + 1e-9)).astype(np.float32)
 
 
 def make_corpus(root: str, n_train: int, n_test: int, seconds: float,
-                rng: np.random.Generator) -> None:
+                rng: np.random.Generator, corpus: str = "pink") -> None:
+    """``corpus='pink'``: the original single-speaker pink-noise corpus
+    (kept so new arms stay comparable to earlier recorded runs);
+    ``'rich'``: both speakers and all four noise families interleaved
+    deterministically, so train AND test cover every (speaker, noise)
+    cell."""
     from speech_enhancement_tpu.data import save_wav
 
     for split, count in (("train", n_train), ("test", n_test)):
@@ -84,8 +127,13 @@ def make_corpus(root: str, n_train: int, n_test: int, seconds: float,
         os.makedirs(cdir, exist_ok=True)
         os.makedirs(ndir, exist_ok=True)
         for i in range(count):
-            clean = synth_speech(rng, seconds)
-            noise = synth_noise(rng, len(clean))
+            if corpus == "rich":
+                speaker = i % len(SPEAKERS)
+                family = NOISE_FAMILIES[i % len(NOISE_FAMILIES)]
+            else:
+                speaker, family = 0, "pink"
+            clean = synth_speech(rng, seconds, speaker=speaker)
+            noise = synth_noise(rng, len(clean), family=family)
             snr_db = rng.uniform(0, 10)
             rms_c = np.sqrt((clean ** 2).mean())
             noise *= rms_c / (10 ** (snr_db / 20))
@@ -177,6 +225,12 @@ def main() -> int:
                     help="main_gan --seed (init + loader stream); vary for "
                          "seed-robustness runs — the corpus itself stays "
                          "fixed (rng 7) so runs share the train/test data")
+    ap.add_argument("--corpus", default="pink", choices=["pink", "rich"],
+                    help="'pink': original single-speaker pink-noise "
+                         "corpus (comparable to earlier recorded runs); "
+                         "'rich': 2 speakers x 4 noise families (pink/"
+                         "white/band/babble) — closer to VoiceBank-"
+                         "DEMAND's noise-type spread")
     ap.add_argument("--step-mode", default=None,
                     choices=["two-phase", "async", "pipelined", "fused"],
                     help="main_gan --step-mode passthrough: quality A/B of "
@@ -187,7 +241,7 @@ def main() -> int:
     rng = np.random.default_rng(7)
     print("synthesizing corpus ...", flush=True)
     make_corpus(args.root, args.train_pairs, args.test_pairs, args.seconds,
-                rng)
+                rng, corpus=args.corpus)
 
     from speech_enhancement_tpu.cli import inference_gan, main_gan
     from speech_enhancement_tpu.data import load_wav
@@ -249,7 +303,9 @@ def main() -> int:
         f"Full-size {args.arch.upper()}-GAN trained from scratch with "
         "`cli.main_gan` on a",
         f"synthetic speech-like corpus ({args.train_pairs} train pairs, "
-        f"{args.seconds:.0f}s, 0-10 dB SNR pink noise), evaluated with the",
+        f"{args.seconds:.0f}s, 0-10 dB SNR, "
+        + ("2 speakers x 4 noise families" if args.corpus == "rich"
+           else "pink noise") + "), evaluated with the",
         "`cli.inference_gan` checkpoint sweep on held-out pairs",
         "(reference inference_gan.py:134-152). Generated by",
         f"`scripts/train_quality_proxy.py` on one TPU v5e chip "
@@ -257,6 +313,8 @@ def main() -> int:
     ]
     # machine-readable per-arch record for the A/B comparison table
     tag = f"_{args.step_mode}" if args.step_mode else ""
+    if args.corpus != "pink":
+        tag += f"_{args.corpus}"
     if args.train_seed != 3:  # seed-robustness arms don't clobber the base record
         tag += f"_s{args.train_seed}"
     return write_proxy_report(
@@ -265,7 +323,7 @@ def main() -> int:
         {
             "arch": args.arch, "precision": args.precision,
             "fused_attention": bool(args.fused_attention),
-            "step_mode": args.step_mode,
+            "step_mode": args.step_mode, "corpus": args.corpus,
             "epochs": args.epochs, "seed": args.train_seed,
         },
         "per_epoch", require_stoi=True,

@@ -56,6 +56,29 @@ from speech_enhancement_tpu.utils import (
 MODEL_NAMES = ["scp", "cp", "sc", "cmgan"]
 
 
+def host_validation_disc_loss(d_real, d_fake, q_est,
+                              crit_name: str = "mse") -> float:
+    """Host-side twin of the reference validate_gan discriminator metric
+    L_C + L_E: criterion(d_real, 1) + criterion(d_fake, q)
+    (function.py:425-429).  Computed in numpy because its inputs already
+    live on the host (d_real/d_fake come back with the eval step, q_est
+    from the host PESQ engine) and an eager device call would cost a
+    ~30 ms tunnel dispatch per validation batch.  Parity with the device
+    criterion (train.build_criterion) for both names is pinned by
+    tests/test_train_gan.py::test_host_validation_disc_loss_matches_device.
+    """
+    d_real = np.asarray(d_real, np.float32)
+    d_fake = np.asarray(d_fake, np.float32)
+    q = np.asarray(q_est, np.float32)
+    if crit_name in ("mae", "l1"):
+        return float(np.mean(np.abs(d_real - np.float32(1.0)))
+                     + np.mean(np.abs(d_fake - q)))
+    if crit_name in ("mse", "l2"):
+        return float(np.mean((d_real - np.float32(1.0)) ** 2)
+                     + np.mean((d_fake - q) ** 2))
+    raise ValueError(f"invalid criterion {crit_name!r}")
+
+
 def _validation_pad_rows(b: int, batch_size: int, mesh_size: int) -> int:
     """Rows a validation batch of ``b`` real utterances is padded to:
     the full batch size rounded up to the mesh multiple, so every
@@ -185,13 +208,6 @@ def main(argv=None):
     # the reference hardcodes MSE for the GAN path (main_gan.py:190)
     crit_name = "mse"
     criterion = build_criterion(crit_name)
-    # host-side twin of the criterion for the validation disc loss: the
-    # inputs (d_fake/d_real/q_est) already live on the host, and an eager
-    # device call would cost a ~30 ms tunnel dispatch per batch
-    if crit_name in ("mae", "l1"):
-        np_criterion = lambda a, b: float(np.mean(np.abs(a - b)))  # noqa: E731
-    else:
-        np_criterion = lambda a, b: float(np.mean((a - b) ** 2))  # noqa: E731
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else None
 
     crop_len = config.CROP_FRAMES * config.HOP_SAMPLES * config.CROP_LEN
@@ -474,10 +490,8 @@ def main(argv=None):
             # validation disc loss L_C + L_E through the configured
             # criterion (function.py:425-429; the reference computes it
             # regardless of gen-first/gan_active, and so do we)
-            disc_loss = (
-                np_criterion(d_real, np.float32(1.0))
-                + np_criterion(d_fake, q_est.astype(np.float32))
-            )
+            disc_loss = host_validation_disc_loss(d_real, d_fake, q_est,
+                                                  crit_name)
             vg.update(float(np.mean(np.asarray(losses["loss"])[:b])), b)
             vd.update(disc_loss, b)
 

@@ -111,6 +111,22 @@ def pesq_loss(clean, noisy, sr: int = 16000) -> float:
         return -1.0
 
 
+_LABEL_RNG = np.random.default_rng(0)
+
+
+def _label_perturbation() -> tuple[float, float]:
+    """Deliberate label-perturbation knobs for the PESQ-engine bias
+    sensitivity study (docs/label_bias_study.md): every score that flows
+    into discriminator labels passes through ``batch_pesq_raw``, while
+    the evaluation path (`metrics.composite.compute_metrics`) calls
+    ``pesq`` directly — so setting these perturbs TRAINING labels only,
+    measuring how much an engine-vs-ITU deviation would move final
+    trained quality.  Off (0, 0) unless the env vars are set."""
+    bias = float(os.environ.get("SE_TPU_PESQ_LABEL_BIAS", "0") or 0.0)
+    noise = float(os.environ.get("SE_TPU_PESQ_LABEL_NOISE", "0") or 0.0)
+    return bias, noise
+
+
 def batch_pesq_raw(clean: np.ndarray, noisy: np.ndarray, fs: int = 16000,
                    n_threads: int = 0) -> np.ndarray:
     """Raw MOS per pair over equal-length [B, L] batches (C++ thread pool).
@@ -127,7 +143,16 @@ def batch_pesq_raw(clean: np.ndarray, noisy: np.ndarray, fs: int = 16000,
         b, length, int(fs), int(n_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
-    return np.where(out < 0, -1.0, out)
+    scores = np.where(out < 0, -1.0, out)
+    bias, noise = _label_perturbation()
+    if bias or noise:
+        pert = scores + bias
+        if noise:
+            pert = pert + noise * _LABEL_RNG.standard_normal(scores.shape)
+        # stay inside the engine's own output range; the -1 failure
+        # sentinel must survive untouched (it drives the silence retry)
+        scores = np.where(scores < 0, scores, np.clip(pert, 1.0, 4.64))
+    return scores
 
 
 def batch_pesq(clean, noisy, fs: int = 16000) -> np.ndarray:

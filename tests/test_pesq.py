@@ -244,3 +244,37 @@ def test_engine_conformance_fixture():
                     clean, rec["q_db"])
         np.testing.assert_allclose(pesq(FS, clean, deg), rec["mos"],
                                    atol=1e-4)
+
+
+def test_label_perturbation_knobs(speech, monkeypatch):
+    """SE_TPU_PESQ_LABEL_BIAS/NOISE perturb batch_pesq_raw (the training
+    label path) deterministically per knob: +bias shifts scores, the -1
+    failure sentinel survives, and the clip keeps the engine's range —
+    the injection point for docs/label_bias_study.md."""
+    from speech_enhancement_tpu.metrics.pesq import batch_pesq_raw
+
+    deg = speech + 0.05 * np.random.default_rng(0).standard_normal(
+        len(speech)
+    ).astype(np.float32)
+    clean = np.stack([speech, np.zeros_like(speech)])  # row 1 fails (-1)
+    noisy = np.stack([deg, np.zeros_like(speech)])
+
+    base = batch_pesq_raw(clean, noisy)
+    assert base[1] == -1.0
+
+    monkeypatch.setenv("SE_TPU_PESQ_LABEL_BIAS", "0.3")
+    up = batch_pesq_raw(clean, noisy)
+    np.testing.assert_allclose(up[0], min(base[0] + 0.3, 4.64), atol=1e-9)
+    assert up[1] == -1.0  # sentinel untouched
+
+    monkeypatch.setenv("SE_TPU_PESQ_LABEL_BIAS", "-9.0")
+    floor = batch_pesq_raw(clean, noisy)
+    assert floor[0] == 1.0  # clipped to the engine range, not negative
+    assert floor[1] == -1.0
+
+    monkeypatch.setenv("SE_TPU_PESQ_LABEL_BIAS", "0")
+    monkeypatch.setenv("SE_TPU_PESQ_LABEL_NOISE", "0.1")
+    noisy_scores = batch_pesq_raw(clean, noisy)
+    assert noisy_scores[0] != base[0]
+    assert abs(noisy_scores[0] - base[0]) < 1.0
+    assert noisy_scores[1] == -1.0
