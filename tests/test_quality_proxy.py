@@ -86,3 +86,41 @@ def test_write_proxy_report_format(tmp_path):
     with pytest.raises(SystemExit):
         write_proxy_report(str(report), ["# T"], base, [], "epoch",
                            str(record), {}, "per_epoch")
+
+
+def test_rich_corpus_synthesis(tmp_path):
+    """The rich proxy corpus covers both speakers and all four noise
+    families deterministically, every noise family is finite unit-RMS,
+    and the two speaker profiles are actually different voices."""
+    import jax
+    import numpy as np
+
+    old_cache = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    from scripts.train_quality_proxy import (
+        NOISE_FAMILIES,
+        SPEAKERS,
+        make_corpus,
+        synth_noise,
+        synth_speech,
+    )
+    jax.config.update("jax_compilation_cache_dir", old_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
+
+    assert len(SPEAKERS) == 2 and len(NOISE_FAMILIES) == 4
+    for fam in NOISE_FAMILIES:
+        n = synth_noise(np.random.default_rng(1), 16000, fam)
+        assert np.isfinite(n).all(), fam
+        assert abs(float((n ** 2).mean()) - 1.0) < 1e-3, fam
+
+    s0 = synth_speech(np.random.default_rng(2), 1.0, speaker=0)
+    s1 = synth_speech(np.random.default_rng(2), 1.0, speaker=1)
+    assert np.isfinite(s0).all() and np.isfinite(s1).all()
+    # same rng stream, different profile -> genuinely different voices
+    assert float(np.abs(s0 - s1).max()) > 1e-3
+
+    make_corpus(str(tmp_path), 8, 4, 0.5, np.random.default_rng(7),
+                corpus="rich")
+    wavs = sorted(os.listdir(tmp_path / "train" / "clean"))
+    assert len(wavs) == 8
+    assert len(os.listdir(tmp_path / "train" / "noisy")) == 8
