@@ -113,11 +113,23 @@ class TSCB(nn.Module):
     channels: int = 64
     dropout: float = 0.2
     fused_attention: bool = False
+    fused_relayout: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, t, f, c = x.shape
-        x_t = x.transpose(0, 2, 1, 3).reshape(b * f, t, c)
+        if self.fused_relayout:
+            # Pallas axis-swap probe (ops/pallas_relayout.py): replaces
+            # the two XLA transposes whose relayout copies the trace
+            # attributes ~13.3 ms/step to — measurement-gated flag
+            from speech_enhancement_tpu.ops.pallas_relayout import (
+                swap_seq_axes,
+            )
+
+            fold = lambda a: swap_seq_axes(a)  # noqa: E731
+        else:
+            fold = lambda a: a.transpose(0, 2, 1, 3)  # noqa: E731
+        x_t = fold(x).reshape(b * f, t, c)
         x_t = (
             ConformerBlock(
                 dim=c, dim_head=c // 4, heads=4,
@@ -127,7 +139,7 @@ class TSCB(nn.Module):
             )(x_t, deterministic)
             + x_t
         )
-        x_f = x_t.reshape(b, f, t, c).transpose(0, 2, 1, 3).reshape(b * t, f, c)
+        x_f = fold(x_t.reshape(b, f, t, c)).reshape(b * t, f, c)
         # freq axis stays on XLA even when fused_attention is set: at
         # n~101 the fused kernel loses to XLA's native chain (345.9 vs
         # 336.0 ms/batch measured end-to-end on v5e — tiny batched
@@ -153,17 +165,19 @@ class _TSCBScanCell(nn.Module):
     dropout: float = 0.2
     fused_attention: bool = False
     deterministic: bool = True
+    fused_relayout: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         y = TSCB(self.channels, self.dropout, self.fused_attention,
+                 fused_relayout=self.fused_relayout,
                  name="block")(carry, self.deterministic)
         return y, None
 
 
 def tscb_stack(channels: int, depth: int = 4, dropout: float = 0.2,
                fused_attention: bool = False, deterministic: bool = True,
-               name: str = "tscb_stack"):
+               fused_relayout: bool = False, name: str = "tscb_stack"):
     """Stack of ``depth`` TSCBs as a single scanned + rematerialized block:
     XLA compiles ONE conformer pair instead of ``depth`` (a ~4x compile-time
     cut), and the backward pass recomputes each block's activations instead
@@ -187,7 +201,8 @@ def tscb_stack(channels: int, depth: int = 4, dropout: float = 0.2,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True, "dropout": True},
         length=depth,
-    )(channels, dropout, fused_attention, deterministic, name=name)
+    )(channels, dropout, fused_attention, deterministic, fused_relayout,
+      name=name)
 
 
 class SPConvTranspose2d(nn.Module):
@@ -276,6 +291,7 @@ class TSCNet(nn.Module):
     num_features: int = 201
     fused_attention: bool = False
     quantized_convs: bool = False
+    fused_relayout: bool = False
 
     @nn.compact
     def __call__(self, spec, deterministic: bool = True):
@@ -293,7 +309,8 @@ class TSCNet(nn.Module):
                            name="dense_encoder")(x_in)
         out, _ = tscb_stack(self.num_channel, depth=4,
                             fused_attention=self.fused_attention,
-                            deterministic=deterministic)(out, None)
+                            deterministic=deterministic,
+                            fused_relayout=self.fused_relayout)(out, None)
 
         mask = MaskDecoder(self.num_features, self.num_channel,
                            quantized=self.quantized_convs,

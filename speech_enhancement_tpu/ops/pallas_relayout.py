@@ -1,0 +1,61 @@
+"""Pallas axis-swap relayout for the TSCB time<->freq fold (probe).
+
+Each TSCB re-folds the [B, T, F, C] activation twice per block
+(models/generator.py::TSCB): time-major [B*F, T, C] for the time
+conformer, freq-major [B*T, F, C] for the freq conformer.  The device
+trace attributes ~13.3 ms/step of the freq-attention cost to the XLA
+relayout copy behind that transpose — ~40x off bandwidth speed-of-light
+for the bytes moved, because the swap crosses the second-minor (sublane)
+axis.  VERDICT r4 next #8 asked for a fusion probe amortizing this
+relayout; the dataflow rules out a literal attention->transpose->
+attention megakernel (the conv module / feedforwards sit between the two
+attentions and need their own axis-major layouts), so the honest probe
+is this dedicated swap kernel: one grid step copies a (f_tile, t_tile)
+slab per batch instance, swapping the two sequence axes in VMEM while
+the minor (channel lane) dim stays put.
+
+Wired behind ``TSCB(fused_relayout=True)`` strictly for measurement —
+see the measured verdict in this docstring's history / CLAUDE.md before
+enabling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _swap_kernel(x_ref, o_ref):
+    # block in: [1, fs, ts, c]; block out: [1, ts, fs, c] — the minor
+    # (lane) dim c is untouched, so the swap moves whole rows only
+    o_ref[...] = jnp.swapaxes(x_ref[...], 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("f_tile", "t_tile"))
+def swap_seq_axes(x: jnp.ndarray, f_tile: int = 104,
+                  t_tile: int = 128) -> jnp.ndarray:
+    """[B, F, T, C] -> [B, T, F, C] (both directions are this same swap).
+
+    Ragged F/T edges rely on Pallas TPU's out-of-bounds masking: reads
+    past the array pad, writes past it are dropped — a pure copy, so pad
+    garbage never lands in valid output.
+    """
+    b, f, t, c = x.shape
+    grid = (b, pl.cdiv(t, t_tile), pl.cdiv(f, f_tile))
+    return pl.pallas_call(
+        _swap_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, f_tile, t_tile, c),
+                               lambda ib, it, if_: (ib, if_, it, 0))],
+        out_specs=pl.BlockSpec((1, t_tile, f_tile, c),
+                               lambda ib, it, if_: (ib, it, if_, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, f, c), x.dtype),
+        interpret=_interpret(),
+    )(x)

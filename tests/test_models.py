@@ -108,3 +108,40 @@ def test_param_count_tscnet_full():
     )
     n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     assert 1_000_000 < n < 3_000_000, n
+
+
+def test_fused_relayout_parity():
+    """The Pallas axis-swap relayout probe (ops/pallas_relayout.py) is a
+    bitwise-exact transpose, and TSCNet(fused_relayout=True) matches the
+    XLA-transpose path to compile-noise tolerance with shared params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_enhancement_tpu.models import TSCNet
+    from speech_enhancement_tpu.ops import compressed_stft
+    from speech_enhancement_tpu.ops.pallas_relayout import swap_seq_axes
+
+    rng = np.random.default_rng(0)
+    for shape in [(2, 101, 321, 64), (1, 7, 13, 64)]:  # ragged edges too
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(swap_seq_axes(x)),
+            np.asarray(x.transpose(0, 2, 1, 3)),
+        )
+
+    wav = jnp.asarray(
+        0.1 * rng.standard_normal((2, 8000)).astype(np.float32)
+    )
+    spec = compressed_stft(wav, 400, 100, comp_type="pow")
+    m0 = TSCNet(num_channel=8, num_features=201)
+    m1 = TSCNet(num_channel=8, num_features=201, fused_relayout=True)
+    vs = m0.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        spec,
+    )
+    r0, i0 = m0.apply(vs, spec, deterministic=True)
+    r1, i1 = m1.apply(vs, spec, deterministic=True)
+    # same params; only fusion boundaries differ around the custom call
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i0), atol=2e-5)
