@@ -38,15 +38,7 @@ def _swap_kernel(x_ref, o_ref):
     o_ref[...] = jnp.swapaxes(x_ref[...], 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("f_tile", "t_tile"))
-def swap_seq_axes(x: jnp.ndarray, f_tile: int = 104,
-                  t_tile: int = 128) -> jnp.ndarray:
-    """[B, F, T, C] -> [B, T, F, C] (both directions are this same swap).
-
-    Ragged F/T edges rely on Pallas TPU's out-of-bounds masking: reads
-    past the array pad, writes past it are dropped — a pure copy, so pad
-    garbage never lands in valid output.
-    """
+def _swap_call(x: jnp.ndarray, f_tile: int, t_tile: int) -> jnp.ndarray:
     b, f, t, c = x.shape
     grid = (b, pl.cdiv(t, t_tile), pl.cdiv(f, f_tile))
     return pl.pallas_call(
@@ -59,3 +51,28 @@ def swap_seq_axes(x: jnp.ndarray, f_tile: int = 104,
         out_shape=jax.ShapeDtypeStruct((b, t, f, c), x.dtype),
         interpret=_interpret(),
     )(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def swap_seq_axes(x: jnp.ndarray, f_tile: int = 104,
+                  t_tile: int = 128) -> jnp.ndarray:
+    """[B, F, T, C] -> [B, T, F, C] (both directions are this same swap).
+
+    Ragged F/T edges rely on Pallas TPU's out-of-bounds masking: reads
+    past the array pad, writes past it are dropped — a pure copy, so pad
+    garbage never lands in valid output.  The VJP of a transpose is the
+    inverse transpose, i.e. this same kernel with the tile roles swapped
+    — so the probe also works under grad (training measurement).
+    """
+    return _swap_call(x, f_tile, t_tile)
+
+
+def _swap_fwd(x, f_tile, t_tile):
+    return _swap_call(x, f_tile, t_tile), None
+
+
+def _swap_bwd(f_tile, t_tile, _, g):
+    return (_swap_call(g, t_tile, f_tile),)
+
+
+swap_seq_axes.defvjp(_swap_fwd, _swap_bwd)
