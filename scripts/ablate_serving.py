@@ -81,6 +81,9 @@ def main() -> None:
                    help="int8 encoder/decoder convs (ops/int8.py)")
     p.add_argument("--no-fused", action="store_true",
                    help="XLA attention instead of the Pallas kernel")
+    p.add_argument("--fused-relayout", action="store_true",
+                   help="Pallas axis-swap kernel for the TSCB time<->freq "
+                        "fold (ops/pallas_relayout.py probe)")
     p.add_argument("--fused-stft", action="store_true",
                    help="Pallas hop-block STFT/iSTFT kernels")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
@@ -99,7 +102,8 @@ def main() -> None:
 
     model = TSCNet(num_channel=64, num_features=201,
                    fused_attention=not args.no_fused,
-                   quantized_convs=args.quantized)
+                   quantized_convs=args.quantized,
+                   fused_relayout=args.fused_relayout)
     spec = compressed_stft(jnp.zeros((1, LENGTH)), 400, 100)
     init = jax.jit(lambda rngs, s: model.init(rngs, s, deterministic=True))
     variables = init(
@@ -130,6 +134,7 @@ def main() -> None:
         "quantized": args.quantized,
         "fused": not args.no_fused,
         "fused_stft": args.fused_stft,
+        "fused_relayout": args.fused_relayout,
         "precision": args.precision,
         "batch": args.batch,
         "ms_per_batch": round(1000 * dt / ITERS, 1),
