@@ -145,3 +145,28 @@ def test_fused_relayout_parity():
     # same params; only fusion boundaries differ around the custom call
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-5)
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i0), atol=2e-5)
+
+
+def test_fused_relayout_vjp():
+    """swap_seq_axes's custom VJP (the inverse swap with tile roles
+    flipped) matches the XLA-transpose gradient exactly, including on
+    ragged shapes where the Pallas OOB masking is exercised."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_enhancement_tpu.ops.pallas_relayout import swap_seq_axes
+
+    rng = np.random.default_rng(1)
+    for shape in [(2, 101, 321, 64), (1, 7, 13, 64)]:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal(
+                (shape[0], shape[2], shape[1], shape[3])
+            ).astype(np.float32)
+        )
+        g_fused = jax.grad(lambda a: jnp.sum(swap_seq_axes(a) * w))(x)
+        g_xla = jax.grad(
+            lambda a: jnp.sum(a.transpose(0, 2, 1, 3) * w)
+        )(x)
+        np.testing.assert_array_equal(np.asarray(g_fused), np.asarray(g_xla))
