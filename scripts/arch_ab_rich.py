@@ -29,7 +29,10 @@ SEEDS = [3, 4, 5]
 
 
 def record_path(root: str, arch: str, seed: int) -> str:
-    tag = "_rich" if seed == 3 else f"_rich_s{seed}"
+    # async step mode for comparability with the earlier per-seed arms
+    # (docs/ab_*_async_s{4,5}.json); train_quality_proxy tags the record
+    # with the step mode + corpus + non-default seed.
+    tag = "_async_rich" if seed == 3 else f"_async_rich_s{seed}"
     return os.path.join(root, f"ab_{arch}{tag}.json")
 
 
@@ -44,6 +47,7 @@ def run_arm(root: str, arch: str, seed: int, epochs: int) -> dict:
             "--root", arm_root, "--epochs", str(epochs),
             "--arch", arch, "--train-seed", str(seed), "--corpus", "rich",
             "--precision", "bf16", "--fused-attention",
+            "--step-mode", "async",
             "--report", os.path.join(arm_root, "report.md"),
         ]
         print(f"[{arch} s{seed}] training ...", flush=True)
@@ -71,7 +75,7 @@ def main() -> int:
     lines = [
         "# Architecture A/B on the rich proxy corpus",
         "",
-        "Full-size GAN arms (8 epochs, bf16 + fused attention, pipelined "
+        "Full-size GAN arms (8 epochs, bf16 + fused attention, async "
         "step mode) on the HARDENED synthetic corpus: 2 speakers x 4 "
         "noise families (pink / white / babble-like modulated / "
         "band-limited), 320 train pairs, 0-10 dB SNR — vs the original "

@@ -110,11 +110,14 @@ def main() -> int:
         record[name] = {"bias": bias, "noise": noise, "best_pesq": best,
                         "best_stoi": best_stoi, "final_pesq": final,
                         "per_epoch": pe}
-    worst = min(record.values(),
-                key=lambda r: r["best_pesq"])
+    # headline = the PERTURBED arm farthest from control (min over all
+    # arms would nonsensically pick the control itself whenever every
+    # perturbed arm happens to beat it)
+    worst = max((r for k, r in record.items() if k != "control"),
+                key=lambda r: abs(r["best_pesq"] - ctrl_best))
     lines += [
         "",
-        f"Largest degradation across arms: ΔPESQ "
+        f"Largest |Δ| across perturbed arms: ΔPESQ "
         f"{worst['best_pesq'] - ctrl_best:+.3f} (bias {worst['bias']:+.1f}"
         f", σ {worst['noise']:.1f}).",
         "",

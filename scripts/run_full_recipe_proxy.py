@@ -97,7 +97,11 @@ def main() -> int:
                     action="store_false")
     ap.add_argument("--train-seed", type=int, default=3)
     ap.add_argument("--report", default="docs/full_recipe_run.md")
+    ap.add_argument("--record", default=None,
+                    help="JSON record path (default: --report with .json)")
     args = ap.parse_args()
+    if args.record is None:
+        args.record = os.path.splitext(args.report)[0] + ".json"
 
     from scripts.train_quality_proxy import make_corpus, write_proxy_report
 
@@ -128,10 +132,23 @@ def main() -> int:
             break
         time.sleep(5)
     if killed_at is None:
-        raise SystemExit(
-            f"trainer exited (rc={proc.returncode}) before "
-            f"checkpoint_{args.kill_after_epoch:04d} appeared"
-        )
+        # the trainer exited inside the last poll window — re-check the
+        # marker before declaring failure: the target checkpoint may have
+        # landed just before a clean exit (e.g. --kill-after-epoch near
+        # the final epoch), and that run is resumable, not lost
+        proc.wait()
+        if not os.path.isdir(kill_marker):
+            raise SystemExit(
+                f"trainer exited (rc={proc.returncode}) before "
+                f"checkpoint_{args.kill_after_epoch:04d} appeared"
+            )
+        if proc.returncode != 0:
+            print(f"trainer crashed (rc={proc.returncode}) after "
+                  f"checkpoint_{args.kill_after_epoch:04d} landed; "
+                  "treating it as the preemption and resuming", flush=True)
+        else:
+            print("trainer finished before the kill fired; continuing "
+                  "(phase 2's --resume auto is then a no-op)", flush=True)
 
     print("phase 2: --resume auto across the cycle boundary ...", flush=True)
     rc = subprocess.run(_train_cmd(args, out, resume=True), cwd=REPO).returncode
@@ -217,7 +234,7 @@ def main() -> int:
     ]
     return write_proxy_report(
         args.report, preamble, base, rows, "epoch",
-        "docs/full_recipe_run.json",
+        args.record,
         {"epochs": args.epochs, "precision": args.precision,
          "kill_after_epoch": args.kill_after_epoch,
          "resume_epoch": resume_epoch, "best_epochs": best_epochs,

@@ -188,6 +188,9 @@ def write_proxy_report(report_path: str, preamble: list[str],
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines[-2:]))
 
+    record_dir = os.path.dirname(record_path)
+    if record_dir:
+        os.makedirs(record_dir, exist_ok=True)
     with open(record_path, "w") as f:
         json.dump({
             **record_fields,

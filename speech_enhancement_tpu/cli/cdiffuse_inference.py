@@ -98,8 +98,87 @@ def load_model(model_dir: str, params=None):
     return out
 
 
+def _se_conditioner(noisy: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """The reference se-mode conditioner (cdiffuse/preprocess.py:33-57
+    make_spectrum): peak-normalized waveform, centered hamming STFT with
+    win_length == n_fft, log1p magnitude.  Returns [1, frames, bins]."""
+    from scipy.signal.windows import hamming
+
+    y = noisy.astype(np.float64)
+    peak = np.max(np.abs(y))
+    if peak > 0:
+        y = y / peak
+    pad = n_fft // 2
+    y = np.pad(y, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = y[idx] * hamming(n_fft, sym=True)
+    mag = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))
+    return np.log1p(mag)[None].astype(np.float32)
+
+
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def _mel_conditioner(noisy: np.ndarray, n_fft: int, hop: int,
+                     n_mels: int, sr: int = 16000) -> np.ndarray:
+    """The reference mel-mode conditioner (cdiffuse/preprocess.py:76-92):
+    torchaudio-semantics MelSpectrogram (periodic hann, win_length
+    min(4*hop, n_fft), window-normalized, power 1, HTK mel scale,
+    f_min 20 / f_max sr/2, no filterbank norm) then
+    clip((20*log10(clip(S, 1e-5)) - 20 + 100) / 100, 0, 1).
+    Returns [1, frames, n_mels]."""
+    win_length = min(4 * hop, n_fft)
+    window = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(win_length) / win_length)  # periodic hann
+    lpad = (n_fft - win_length) // 2
+    window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    y = noisy.astype(np.float64)
+    pad = n_fft // 2
+    y = np.pad(y, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = y[idx] * window
+    mag = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))
+    mag = mag / np.sqrt(np.sum(window**2))  # torchaudio normalized=True
+    # HTK-scale triangular filterbank (torchaudio melscale_fbanks defaults)
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_pts = np.linspace(_hz_to_mel_htk(20.0), _hz_to_mel_htk(sr / 2.0),
+                          n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    lower = (freqs[:, None] - hz_pts[None, :-2]) / (hz_pts[1:-1] - hz_pts[:-2])
+    upper = (hz_pts[None, 2:] - freqs[:, None]) / (hz_pts[2:] - hz_pts[1:-1])
+    fbank = np.maximum(0.0, np.minimum(lower, upper))  # [bins, n_mels]
+    mel = mag @ fbank
+    db = 20.0 * np.log10(np.clip(mel, 1e-5, None)) - 20.0
+    return np.clip((db + 100.0) / 100.0, 0.0, 1.0)[None].astype(np.float32)
+
+
+def _conditioner_for(model, noisy: np.ndarray, mode: str = "auto"):
+    """Pick the conditioner featurization the checkpoint was trained on.
+
+    ``auto``: a model matching this framework's learner config (201-bin
+    |STFT| at hop 100) uses sample_waveform's native |STFT| (returns
+    None); anything else came from a converted upstream checkpoint whose
+    conditioner was precomputed by cdiffuse/preprocess.py — spectral
+    widths (>=129 bins, se mode's 201/513 linear spectrograms) get the
+    log1p make_spectrum featurization at n_fft=(bins-1)*2, narrower ones
+    (reference default n_mels=80) the mel stack.  Force with
+    ``--conditioner stft|se|mel``."""
+    if mode == "stft" or (mode == "auto"
+                          and model.n_specs == PARAMS["n_fft"] // 2 + 1
+                          and model.hop_length == PARAMS["hop_samples"]):
+        return None
+    if mode == "se" or (mode == "auto" and model.n_specs >= 129):
+        return _se_conditioner(noisy, (model.n_specs - 1) * 2,
+                               model.hop_length)
+    return _mel_conditioner(noisy, PARAMS["n_fft"], model.hop_length,
+                            model.n_specs)
+
+
 def predict(noisy_signal: np.ndarray, model_dir: str, fast: bool = False,
-            seed: int = 23) -> np.ndarray:
+            seed: int = 23, conditioner: str = "auto") -> np.ndarray:
     model, variables = load_model(model_dir)
     schedule = inference_schedule(
         np.linspace(1e-4, 0.035, 50),
@@ -109,11 +188,13 @@ def predict(noisy_signal: np.ndarray, model_dir: str, fast: bool = False,
     x = jnp.asarray(noisy_signal[None, :], jnp.float32)
     # frame with the MODEL's hop so the upsampled conditioner lines up
     # with the audio (a converted upstream checkpoint has hop 256; the
-    # learner-trained model equals PARAMS['hop_samples'])
+    # learner-trained model equals PARAMS['hop_samples']), and build the
+    # conditioner with the featurization the checkpoint's width implies
+    cond = _conditioner_for(model, noisy_signal, conditioner)
     audio = sample_waveform(model, variables, x, schedule,
                             jax.random.PRNGKey(seed),
                             hop=model.hop_length, n_fft=PARAMS["n_fft"],
-                            clamp_every_step=True)
+                            clamp_every_step=True, conditioner=cond)
     return np.asarray(audio)[0][: len(noisy_signal)]
 
 
@@ -124,6 +205,11 @@ def main(argv=None):
                         help="noisy wav file or directory")
     parser.add_argument("-o", "--output", required=True)
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--conditioner", default="auto",
+                        choices=["auto", "stft", "se", "mel"],
+                        help="conditioner featurization (auto infers from "
+                             "the checkpoint's conditioner width: framework "
+                             "|STFT| / reference se log1p spec / mel)")
     args = parser.parse_args(argv)
 
     paths = (sorted(glob(f"{args.noisy}/*.wav"))
@@ -132,7 +218,8 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     for p in paths:
         noisy, sr = load_wav(p, 16000)
-        est = predict(noisy, args.model_dir, fast=args.fast)
+        est = predict(noisy, args.model_dir, fast=args.fast,
+                      conditioner=args.conditioner)
         save_wav(out_dir / Path(p).name, est, sr)
         print(f"enhanced {p} -> {out_dir / Path(p).name}")
 

@@ -263,6 +263,15 @@ def main(argv=None) -> int:
               f"  python -m speech_enhancement_tpu.cli.{serve} {out}\n"
               f"or fine-tune with main_diffuse --init-from {out}")
         return 0
+    if "gen" not in converted:
+        # disc_state_dict alone (manual surgery) would write a gen-less
+        # checkpoint that inference_gan cannot restore — fail loudly at
+        # convert time instead of at serve time
+        raise SystemExit(
+            f"{args.checkpoint}: has disc_state_dict but no gen_state_dict "
+            "— nothing servable to convert (inference_gan needs the "
+            "generator)"
+        )
     if "disc" not in converted:
         # inference restores {gen, disc} as one tree; a gen-only torch file
         # (not produced by the reference trainer, but possible from manual

@@ -111,7 +111,10 @@ def pesq_loss(clean, noisy, sr: int = 16000) -> float:
         return -1.0
 
 
+# Shared across the loader's collate threads and main_gan's async label
+# pool; numpy Generators are not thread-safe, so draws take the lock.
 _LABEL_RNG = np.random.default_rng(0)
+_LABEL_RNG_LOCK = threading.Lock()
 
 
 def _label_perturbation() -> tuple[float, float]:
@@ -148,10 +151,15 @@ def batch_pesq_raw(clean: np.ndarray, noisy: np.ndarray, fs: int = 16000,
     if bias or noise:
         pert = scores + bias
         if noise:
-            pert = pert + noise * _LABEL_RNG.standard_normal(scores.shape)
-        # stay inside the engine's own output range; the -1 failure
-        # sentinel must survive untouched (it drives the silence retry)
-        scores = np.where(scores < 0, scores, np.clip(pert, 1.0, 4.64))
+            with _LABEL_RNG_LOCK:
+                draw = _LABEL_RNG.standard_normal(scores.shape)
+            pert = pert + noise * draw
+        # Model "the engine reads high/low by `bias`": the shift must
+        # survive at the ceiling too (the engine's self-anchor is ~4.644,
+        # so a 4.64 cap would sign-INVERT a positive bias on clean
+        # labels).  Clip only to the MOS scale [1, 5]; the -1 failure
+        # sentinel must survive untouched (it drives the silence retry).
+        scores = np.where(scores < 0, scores, np.clip(pert, 1.0, 5.0))
     return scores
 
 

@@ -329,7 +329,7 @@ def tsc_diffusion_step(
 
 def sample_waveform(model, variables, noisy_signal, schedule: ReverseSchedule,
                     rng, hop=100, n_fft=400, gamma: float = 0.2,
-                    clamp_every_step: bool = False):
+                    clamp_every_step: bool = False, conditioner=None):
     """DiffuSE reverse sampler (inference_diffuse.py:192-227) as lax.scan.
 
     Starts from the (zero-padded) noisy waveform; per-step update
@@ -341,8 +341,19 @@ def sample_waveform(model, variables, noisy_signal, schedule: ReverseSchedule,
     top-level one clamps only at the final step (inference_diffuse.py:225).
     False reproduces the top-level behavior; cli/cdiffuse_inference passes
     True.
+
+    ``conditioner``: optional precomputed [B, frames, bins] spectrogram to
+    feed the model instead of the |STFT| computed here — the standalone
+    reference consumes offline-preprocessed conditioners whose
+    featurization (log1p / mel, cdiffuse/preprocess.py) differs from a raw
+    |STFT|; cli/cdiffuse_inference builds those for converted upstream
+    checkpoints.  The audio buffer is framed as hop * frames either way
+    (cdiffuse/inference.py:146-148).
     """
-    spec = jnp.abs(stft(noisy_signal, n_fft, hop))[:, :-1, :]
+    if conditioner is not None:
+        spec = jnp.asarray(conditioner, jnp.float32)
+    else:
+        spec = jnp.abs(stft(noisy_signal, n_fft, hop))[:, :-1, :]
     b = noisy_signal.shape[0]
     length = hop * spec.shape[1]
     take = min(noisy_signal.shape[-1], length)

@@ -256,16 +256,23 @@ def test_label_perturbation_knobs(speech, monkeypatch):
     deg = speech + 0.05 * np.random.default_rng(0).standard_normal(
         len(speech)
     ).astype(np.float32)
-    clean = np.stack([speech, np.zeros_like(speech)])  # row 1 fails (-1)
-    noisy = np.stack([deg, np.zeros_like(speech)])
+    # row 1 fails (-1); row 2 is the self-anchor (~4.644) the collator's
+    # q_clean labels use — a positive bias must shift IT up too (clip to
+    # the MOS scale 5.0, not the engine ceiling, else the perturbation
+    # sign-inverts exactly on the clean labels)
+    clean = np.stack([speech, np.zeros_like(speech), speech])
+    noisy = np.stack([deg, np.zeros_like(speech), speech])
 
     base = batch_pesq_raw(clean, noisy)
     assert base[1] == -1.0
+    assert base[2] > 4.6  # self-anchor
 
     monkeypatch.setenv("SE_TPU_PESQ_LABEL_BIAS", "0.3")
     up = batch_pesq_raw(clean, noisy)
-    np.testing.assert_allclose(up[0], min(base[0] + 0.3, 4.64), atol=1e-9)
+    np.testing.assert_allclose(up[0], min(base[0] + 0.3, 5.0), atol=1e-9)
     assert up[1] == -1.0  # sentinel untouched
+    np.testing.assert_allclose(up[2], min(base[2] + 0.3, 5.0), atol=1e-9)
+    assert up[2] > base[2]  # the +bias arm really reads HIGH on clean pairs
 
     monkeypatch.setenv("SE_TPU_PESQ_LABEL_BIAS", "-9.0")
     floor = batch_pesq_raw(clean, noisy)

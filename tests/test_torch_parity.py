@@ -391,6 +391,46 @@ def test_convert_checkpoint_cli_diffusion(ref_diffusion_modules, tmp_path):
     det = convert_checkpoint(str(ckpt3))
     assert det["arch"].startswith("tsc")
 
+    # a reference-DEFAULT mel checkpoint (cdiffuse/params.py n_mels=80)
+    # must SERVE end-to-end: predict() builds the matching-width mel
+    # conditioner (preprocess.py:76-92) rather than feeding the 201-bin
+    # |STFT| into an 80-channel conditioner_projection
+    p80 = P(dilation_cycle_length=10, residual_channels=8,
+            residual_layers=2, noise_schedule=SCHED, n_mels=80)
+    torch.manual_seed(6)
+    cm80 = CdiffuseTorch(None, p80)
+    wpt80 = tmp_path / "weights80.pt"
+    torch.save({"step": 7, "model": cm80.state_dict(), "optimizer": {},
+                "params": dict(p80), "scaler": {}}, wpt80)
+    out80 = tmp_path / "conv_cdiffuse80"
+    assert cc.main([str(wpt80), str(out80)]) == 0
+    model80, _ = cdiffuse_inference.load_model(str(out80))
+    assert model80.n_specs == 80
+    noisy = 0.1 * np.random.default_rng(9).standard_normal(2048)
+    est = cdiffuse_inference.predict(noisy.astype(np.float32), str(out80),
+                                     fast=True)
+    assert est.shape == noisy.shape
+    assert np.isfinite(est).all()
+
+
+def test_se_conditioner_matches_torch_stft():
+    """_se_conditioner reproduces make_spectrum's framing (librosa
+    center/reflect STFT, symmetric hamming, log1p magnitude,
+    cdiffuse/preprocess.py:33-57) — pinned against torch.stft, whose
+    center/reflect conventions match librosa's."""
+    from speech_enhancement_tpu.cli.cdiffuse_inference import _se_conditioner
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(3000).astype(np.float32)
+    got = _se_conditioner(y, 400, 100)[0]
+    w = torch.hamming_window(400, periodic=False, dtype=torch.float64)
+    yt = torch.tensor((y / np.abs(y).max()).astype(np.float64))
+    st = torch.stft(yt, 400, 100, win_length=400, window=w, center=True,
+                    pad_mode="reflect", onesided=True, return_complex=True)
+    want = np.log1p(st.abs().numpy().T)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
 
 @pytest.fixture(scope="module")
 def ref_inference_gan(ref_modules):
