@@ -6,6 +6,44 @@ import pytest
 from speech_enhancement_tpu.data import save_wav
 
 
+def test_conditioner_featurizations():
+    """The converted-checkpoint conditioner builders (reference
+    cdiffuse/preprocess.py semantics): shapes line up with hop framing,
+    the mel stack lands in [0, 1], and the se spec is amplitude-invariant
+    (make_spectrum peak-normalizes before the STFT)."""
+    from speech_enhancement_tpu.cli.cdiffuse_inference import (
+        _conditioner_for,
+        _mel_conditioner,
+        _se_conditioner,
+    )
+
+    rng = np.random.default_rng(0)
+    y = (0.1 * rng.standard_normal(3000)).astype(np.float32)
+
+    se = _se_conditioner(y, 400, 100)
+    assert se.shape == (1, 1 + len(y) // 100, 201)
+    assert np.isfinite(se).all() and (se >= 0).all()
+    np.testing.assert_allclose(se, _se_conditioner(7.3 * y, 400, 100),
+                               rtol=1e-5, atol=1e-6)
+
+    mel = _mel_conditioner(y, 400, 100, 80)
+    assert mel.shape == (1, 1 + len(y) // 100, 80)
+    assert (mel >= 0).all() and (mel <= 1).all()
+
+    # auto-mode dispatch: framework config -> native |STFT| (None);
+    # spectral width -> se; narrow width -> mel
+    class M:
+        def __init__(self, n_specs, hop_length):
+            self.n_specs, self.hop_length = n_specs, hop_length
+
+    assert _conditioner_for(M(201, 100), y) is None
+    assert _conditioner_for(M(201, 256), y).shape == (1, 1 + len(y) // 256,
+                                                      201)
+    assert _conditioner_for(M(80, 100), y).shape == (1, 1 + len(y) // 100, 80)
+    assert _conditioner_for(M(201, 100), y, "se").shape[-1] == 201
+    assert _conditioner_for(M(80, 100), y, "mel").shape[-1] == 80
+
+
 @pytest.mark.slow
 def test_cdiffuse_inference_cli(tmp_path, monkeypatch):
     import speech_enhancement_tpu.cli.cdiffuse as cd
