@@ -14,9 +14,16 @@ is this dedicated swap kernel: one grid step copies a (f_tile, t_tile)
 slab per batch instance, swapping the two sequence axes in VMEM while
 the minor (channel lane) dim stays put.
 
-Wired behind ``TSCB(fused_relayout=True)`` strictly for measurement —
-see the measured verdict in this docstring's history / CLAUDE.md before
-enabling.
+Wired behind ``TSCB(fused_relayout=True)`` strictly for measurement.
+
+MEASURED VERDICT (scripts/probe_relayout_vmem.py, bf16 batch-32 serving,
+scoped vmem raised to 64 MiB, serialized read-fenced arms on an idle
+host): fused 338.2 ms/batch vs control 317.1 — the swap kernel is 6.7%
+SLOWER end-to-end.  The XLA relayout copy it replaces costs ~13.3
+ms/step, but the kernel's own sublane-crossing ``jnp.swapaxes`` inside
+VMEM costs more than that (same failure mode as the rel-skew freq bias
+and packed-kv probes: Mosaic second-minor moves are expensive).  Do NOT
+enable; kept only as the recorded negative for VERDICT r4 stretch #8.
 """
 
 from __future__ import annotations
