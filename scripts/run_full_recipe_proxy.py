@@ -100,8 +100,14 @@ def main() -> int:
     ap.add_argument("--record", default=None,
                     help="JSON record path (default: --report with .json)")
     args = ap.parse_args()
+    # anchor the default docs/ artifacts to the repo regardless of the
+    # caller's cwd (the training subprocesses already run with cwd=REPO)
+    if not os.path.isabs(args.report):
+        args.report = os.path.join(REPO, args.report)
     if args.record is None:
         args.record = os.path.splitext(args.report)[0] + ".json"
+    elif not os.path.isabs(args.record):
+        args.record = os.path.join(REPO, args.record)
 
     from scripts.train_quality_proxy import make_corpus, write_proxy_report
 
@@ -191,7 +197,11 @@ def main() -> int:
     iargs, icfg = inference_gan.parse_option([
         "--output", os.path.join(args.root, "enhanced"),
         "--model_path", "unused",
-        "--cfg", "speech_enhancement_tpu/config/scp.yaml",
+        # resolve against REPO: the training subprocesses run with
+        # cwd=REPO, but this in-process sweep inherits the CALLER's cwd —
+        # a relative path here would crash AFTER the multi-hour training
+        # when the script is launched from outside the repo root
+        "--cfg", os.path.join(REPO, "speech_enhancement_tpu/config/scp.yaml"),
         "--batch-size", "24", "--precision", args.precision,
     ] + opts)
     print("sweeping all checkpoints ...", flush=True)

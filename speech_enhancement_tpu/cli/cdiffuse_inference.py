@@ -40,6 +40,10 @@ PARAMS = dict(
 )
 
 _model_cache: dict[str, tuple] = {}
+# non-shape-visible hyperparameters restored from a converted
+# checkpoint's params.json (dilation cycle + noise schedules the
+# reference learner saved, cdiffuse/learner.py:60-72)
+_saved_params_cache: dict[str, dict] = {}
 
 
 def load_model(model_dir: str, params=None):
@@ -56,6 +60,8 @@ def load_model(model_dir: str, params=None):
         # (cdiffuse/model.py:74-77, hop 256) while this framework's
         # trainer uses the hop-consistent 10x10 one — both serve, each
         # with its own self-consistent framing (model.hop_length)
+        import json
+
         import orbax.checkpoint as ocp
 
         from speech_enhancement_tpu.cli.convert_checkpoint import (
@@ -65,7 +71,12 @@ def load_model(model_dir: str, params=None):
         raw = ocp.StandardCheckpointer().restore(
             (Path(model_dir) / "variables").resolve()
         )
-        out = (_infer_diffuse_model(raw), raw)
+        saved = {}
+        pj = Path(model_dir) / "params.json"
+        if pj.exists():
+            saved = json.loads(pj.read_text())
+        _saved_params_cache[key] = saved
+        out = (_infer_diffuse_model(raw, saved), raw)
         _model_cache[key] = out
         return out
     model = DiffuSE(
@@ -99,26 +110,15 @@ def load_model(model_dir: str, params=None):
 
 
 def _se_conditioner(noisy: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
-    """The reference se-mode conditioner (cdiffuse/preprocess.py:33-57
-    make_spectrum): peak-normalized waveform, centered hamming STFT with
-    win_length == n_fft, log1p magnitude.  Returns [1, frames, bins]."""
-    from scipy.signal.windows import hamming
+    """The reference se-mode conditioner (cdiffuse/preprocess.py:33-57):
+    exactly ``data.preprocess.make_spectrum`` — peak-normalized waveform,
+    centered SYMMETRIC-hamming STFT with win_length == n_fft, log1p
+    magnitude — transposed to the conditioner's [1, frames, bins]."""
+    from speech_enhancement_tpu.data.preprocess import make_spectrum
 
-    y = noisy.astype(np.float64)
-    peak = np.max(np.abs(y))
-    if peak > 0:
-        y = y / peak
-    pad = n_fft // 2
-    y = np.pad(y, (pad, pad), mode="reflect")
-    n_frames = 1 + (len(y) - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = y[idx] * hamming(n_fft, sym=True)
-    mag = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))
-    return np.log1p(mag)[None].astype(np.float32)
-
-
-def _hz_to_mel_htk(f):
-    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+    sxx, _, _ = make_spectrum(y=noisy.astype(np.float64),
+                              frame_length=n_fft, shift=hop)
+    return sxx.T[None].astype(np.float32)
 
 
 def _mel_conditioner(noisy: np.ndarray, n_fft: int, hop: int,
@@ -143,13 +143,9 @@ def _mel_conditioner(noisy: np.ndarray, n_fft: int, hop: int,
     mag = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))
     mag = mag / np.sqrt(np.sum(window**2))  # torchaudio normalized=True
     # HTK-scale triangular filterbank (torchaudio melscale_fbanks defaults)
-    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
-    mel_pts = np.linspace(_hz_to_mel_htk(20.0), _hz_to_mel_htk(sr / 2.0),
-                          n_mels + 2)
-    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
-    lower = (freqs[:, None] - hz_pts[None, :-2]) / (hz_pts[1:-1] - hz_pts[:-2])
-    upper = (hz_pts[None, 2:] - freqs[:, None]) / (hz_pts[2:] - hz_pts[1:-1])
-    fbank = np.maximum(0.0, np.minimum(lower, upper))  # [bins, n_mels]
+    from speech_enhancement_tpu.data.preprocess import _mel_filterbank
+
+    fbank = _mel_filterbank(sr, n_fft, n_mels, 20.0, sr / 2.0).T
     mel = mag @ fbank
     db = 20.0 * np.log10(np.clip(mel, 1e-5, None)) - 20.0
     return np.clip((db + 100.0) / 100.0, 0.0, 1.0)[None].astype(np.float32)
@@ -180,9 +176,16 @@ def _conditioner_for(model, noisy: np.ndarray, mode: str = "auto"):
 def predict(noisy_signal: np.ndarray, model_dir: str, fast: bool = False,
             seed: int = 23, conditioner: str = "auto") -> np.ndarray:
     model, variables = load_model(model_dir)
+    # a converted checkpoint's params.json overrides the reference-default
+    # schedules (a non-default upstream training schedule MUST be used at
+    # inference or the reverse process is mis-scaled)
+    saved = _saved_params_cache.get(os.path.abspath(model_dir), {})
     schedule = inference_schedule(
-        np.linspace(1e-4, 0.035, 50),
-        [0.0001, 0.001, 0.01, 0.05, 0.2, 0.35],
+        np.asarray(saved.get("noise_schedule",
+                             np.linspace(1e-4, 0.035, 50)), np.float64),
+        np.asarray(saved.get("inference_noise_schedule",
+                             [0.0001, 0.001, 0.01, 0.05, 0.2, 0.35]),
+                   np.float64),
         fast=fast,
     )
     x = jnp.asarray(noisy_signal[None, :], jnp.float32)

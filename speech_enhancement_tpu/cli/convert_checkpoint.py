@@ -108,25 +108,31 @@ def _verify_against_template(converted: dict, n_fft: int, hop: int,
     return converted
 
 
-def _infer_diffuse_model(variables: dict):
+def _infer_diffuse_model(variables: dict, saved_params: dict | None = None):
     """Rebuild the flax DiffuSE whose hyperparameters match a converted
     params tree (everything shape-relevant is recoverable from the
     weights themselves; num_steps only sizes the non-trainable sin/cos
     table so any value gives the same tree).  ``dilation_cycle_length``
-    is NOT shape-visible and stays the reference default (10 in both
-    models/DiffuSE.py usage and cdiffuse/params.py)."""
+    is NOT shape-visible — it comes from ``saved_params`` (the learner
+    params the converter preserves as ``params.json``,
+    cdiffuse/learner.py:60-72) and falls back to the reference default
+    (10 in both models/DiffuSE.py usage and cdiffuse/params.py)."""
     from speech_enhancement_tpu.models import DiffuSE
 
+    saved = saved_params or {}
     params = variables["params"]
     n_layers = sum(1 for k in params if k.startswith("residual"))
     c = params["input_projection"]["kernel"].shape[-1]
     n_specs = params["residual0"]["conditioner_projection"]["kernel"].shape[1]
     L = params["spectrogram_upsampler"]["conv1"].shape[0] // 2
+    sched = saved.get("noise_schedule")
     return DiffuSE(
         hop_length=L * L,
         n_specs=n_specs,
+        num_steps=len(sched) if sched is not None else 50,
         residual_channels=c,
         residual_layers=n_layers,
+        dilation_cycle_length=int(saved.get("dilation_cycle_length", 10)),
         use_groupnorm="dilated_norm" in params["residual0"],
     )
 
@@ -257,6 +263,15 @@ def main(argv=None) -> int:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(target, variables)
         ckptr.wait_until_finished()
+        if converted.get("params"):
+            # non-shape-visible hyperparameters the source checkpoint
+            # carried (cdiffuse dilation_cycle_length + noise schedules);
+            # cdiffuse_inference.load_model reads this back
+            import json
+
+            (out / "params.json").write_text(
+                json.dumps(converted["params"], indent=1)
+            )
         serve = ("cdiffuse_inference --model-dir" if arch == "cdiffuse"
                  else f"inference_diffuse -a {arch or 'diffuse'} -m")
         print(f"wrote {target} ({arch} model variables); serve it with\n"

@@ -43,7 +43,13 @@ def make_spectrum(
     peak = np.max(np.abs(y)) if len(y) else 0.0
     if peak > 0:
         y = y / peak
-    window = sp_signal.get_window("hamming", frame_length)
+    # The reference passes the scipy.signal.hamming CALLABLE to
+    # librosa.stft (cdiffuse/preprocess.py:49); librosa invokes a callable
+    # as window(win_length), i.e. the SYMMETRIC (sym=True) hamming — not
+    # the periodic one get_window's fftbins=True default would give.
+    # Pinned against torch.stft framing by
+    # tests/test_torch_parity.py::test_se_conditioner_matches_torch_stft.
+    window = sp_signal.get_window("hamming", frame_length, fftbins=False)
     # librosa.stft semantics: centered, reflect-padded
     pad = frame_length // 2
     yp = np.pad(y, (pad, pad), mode="reflect")

@@ -167,9 +167,14 @@ class Collator:
                 # bottleneck, docs/LOADER_BENCH.md)
                 anchor = Collator._pesq_self_anchor.get(self.sample_rate)
                 if anchor is None:
+                    # exclude_noise: this one score is cached for the whole
+                    # process — a frozen random draw would be a constant
+                    # clean-label bias, not the per-label noise the study's
+                    # noise knob models (the bias knob still applies)
                     anchor = float(
                         batch_pesq_raw(audio[:1], audio[:1],
-                                       self.sample_rate)[0]
+                                       self.sample_rate,
+                                       exclude_noise=True)[0]
                     )
                     Collator._pesq_self_anchor[self.sample_rate] = anchor
                 pesq_clean = np.full(

@@ -131,9 +131,18 @@ def _label_perturbation() -> tuple[float, float]:
 
 
 def batch_pesq_raw(clean: np.ndarray, noisy: np.ndarray, fs: int = 16000,
-                   n_threads: int = 0) -> np.ndarray:
+                   n_threads: int = 0,
+                   exclude_noise: bool = False) -> np.ndarray:
     """Raw MOS per pair over equal-length [B, L] batches (C++ thread pool).
-    Failed rows come back as -1."""
+    Failed rows come back as -1.
+
+    ``exclude_noise`` is for scores that get CACHED as process-wide
+    constants (the collator's PESQ(x, x) self-anchor): the study's bias
+    knob still applies (a biased engine reads high on every pair, the
+    self-pair included), but the zero-mean noise knob must not — one
+    random draw frozen into the anchor would perturb every q_clean label
+    of a run by the same constant, which is a bias arm, not a noise arm.
+    """
     clean = _as_float32(clean)
     noisy = _as_float32(noisy)
     assert clean.shape == noisy.shape and clean.ndim == 2
@@ -148,6 +157,8 @@ def batch_pesq_raw(clean: np.ndarray, noisy: np.ndarray, fs: int = 16000,
     )
     scores = np.where(out < 0, -1.0, out)
     bias, noise = _label_perturbation()
+    if exclude_noise:
+        noise = 0.0
     if bias or noise:
         pert = scores + bias
         if noise:

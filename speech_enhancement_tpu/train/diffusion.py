@@ -114,6 +114,22 @@ def inference_schedule(
     m = np.array(
         [min((1.0 - ac) / ac**0.5, 1.0) ** 0.5 for ac in alpha_cum]
     )
+    if np.any(m[:-1] >= 1.0) or alpha_cum[-1] >= 0.5:
+        # The reverse coefficients divide by (1 - m[n-1]) and by delta[n],
+        # so the schedule must keep every INTERMEDIATE m below the clamp
+        # (alpha_cum[n] > (sqrt(5)-1)/2 ~ 0.382 for n < N-1: a clamped
+        # intermediate step makes (1-m[n])/(1-m[n-1]) = 0/0) and the
+        # final alpha_cum < 0.5 (m[-1] is forced to 1, so delta[-1] =
+        # 1 - 2*alpha_cum[-1] must stay > 0).  The reference's own
+        # equations (inference_diffuse.py:117-189) silently emit NaN
+        # audio outside this domain; fail loudly instead.
+        imin = float(alpha_cum[:-1].min()) if n_steps > 1 else float("nan")
+        raise ValueError(
+            "noise schedule is outside the CDiffuSE reverse-process "
+            f"domain (alpha_cum must stay > 0.382 before the final step "
+            f"and end below 0.5; got intermediate min {imin:.4f}, final "
+            f"{alpha_cum[-1]:.4f}) — adjust the step count or betas"
+        )
     m[-1] = 1.0
     delta = np.maximum(1.0 - (1.0 + m**2) * alpha_cum, 0.0)
 

@@ -561,17 +561,44 @@ def convert_checkpoint(path: str) -> dict:
     if "state_dict" in ckpt:  # main_diffuse family
         arch = str(ckpt.get("arch", ""))
         sd = _sd(ckpt["state_dict"])
-        if arch.startswith("tsc") or "merge_block.merge_diffusion.weight" in (
-            strip_module_prefix(sd)
-        ):
+        # the STRUCTURE decides the branch — a mislabeled 'arch' tag on
+        # the wrong tree would otherwise crash deep inside the mapper
+        # (or write a checkpoint whose printed serve command fails)
+        is_tsc = "merge_block.merge_diffusion.weight" in strip_module_prefix(sd)
+        if arch and arch.startswith("tsc") != is_tsc:
+            structural = "tsc-diffuse" if is_tsc else "diffuse"
+            print(f"WARNING: checkpoint says arch='{arch}' but the "
+                  f"state_dict is structurally {structural} "
+                  f"({'has' if is_tsc else 'lacks'} merge_block keys) — "
+                  f"converting as {structural}")
+            arch = structural
+        if is_tsc:
             return {"arch": arch or "tsc-diffuse",
                     "model": convert_tsc_diffusion(sd)}
         return {"arch": arch or "diffuse",
                 "model": convert_diffuse(sd, use_groupnorm=True)}
     if "model" in ckpt and "step" in ckpt:  # cdiffuse weights.pt
-        return {"arch": "cdiffuse",
-                "model": convert_diffuse(_sd(ckpt["model"]),
-                                         use_groupnorm=False)}
+        out = {"arch": "cdiffuse",
+               "model": convert_diffuse(_sd(ckpt["model"]),
+                                        use_groupnorm=False)}
+        # the learner saves its AttrDict params alongside the weights
+        # (cdiffuse/learner.py:60-72) — dilation_cycle_length and the
+        # noise schedules are NOT recoverable from weight shapes, so a
+        # non-default upstream run (params.override) would silently serve
+        # with wrong dilations/schedule if these were dropped
+        saved = ckpt.get("params") or {}
+        keep = {}
+        for k in ("dilation_cycle_length", "noise_schedule",
+                  "inference_noise_schedule"):
+            if k in saved:
+                v = saved[k]
+                keep[k] = (np.asarray(v).tolist()
+                           if isinstance(v, (list, tuple, np.ndarray))
+                           else (v.item() if isinstance(v, np.generic)
+                                 else v))
+        if keep:
+            out["params"] = keep
+        return out
     raise ValueError(
         f"{path}: unrecognized checkpoint layout (keys {sorted(ckpt)[:8]}) — "
         "expected a reference GAN .pth.tar, a main_diffuse .pth.tar, or a "

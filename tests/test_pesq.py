@@ -285,3 +285,13 @@ def test_label_perturbation_knobs(speech, monkeypatch):
     assert noisy_scores[0] != base[0]
     assert abs(noisy_scores[0] - base[0]) < 1.0
     assert noisy_scores[1] == -1.0
+
+    # exclude_noise (the collator's cached self-anchor path): the noise
+    # knob must NOT apply — a frozen draw would be a constant clean-label
+    # bias — while the bias knob still must
+    np.testing.assert_allclose(
+        batch_pesq_raw(clean, noisy, exclude_noise=True), base, atol=1e-9)
+    monkeypatch.setenv("SE_TPU_PESQ_LABEL_BIAS", "0.3")
+    anchored = batch_pesq_raw(clean, noisy, exclude_noise=True)
+    np.testing.assert_allclose(anchored[2], min(base[2] + 0.3, 5.0),
+                               atol=1e-9)

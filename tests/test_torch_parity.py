@@ -390,6 +390,42 @@ def test_convert_checkpoint_cli_diffusion(ref_diffusion_modules, tmp_path):
     torch.save({"state_dict": ts.state_dict()}, ckpt3)
     det = convert_checkpoint(str(ckpt3))
     assert det["arch"].startswith("tsc")
+    # ... and a CONTRADICTING tag loses to the structure (a truthy wrong
+    # tag used to survive and crash the verifier / print a broken serve
+    # command) — both directions
+    torch.save({"arch": "diffuse", "state_dict": ts.state_dict()}, ckpt3)
+    assert convert_checkpoint(str(ckpt3))["arch"] == "tsc-diffuse"
+    torch.save({"arch": "tsc-diffuse",
+                "state_dict": tm.state_dict()}, ckpt3)
+    assert convert_checkpoint(str(ckpt3))["arch"] == "diffuse"
+
+    # non-default learner params (cdiffuse/learner.py:60-72 saves them
+    # next to the weights): dilation_cycle_length and the noise schedule
+    # are NOT shape-visible, so they must ride along as params.json and
+    # drive the served model + reverse schedule
+    # NOTE the schedule must stay inside the CDiffuSE reverse algebra's
+    # domain (see inference_schedule's guard): every intermediate
+    # alpha_cum > 0.382 and the final one < 0.5 — 20 steps to 0.09 gives
+    # alpha_cum[-2] ~ 0.43, alpha_cum[-1] ~ 0.395
+    pnd = P(dilation_cycle_length=3, residual_channels=8,
+            residual_layers=2,
+            noise_schedule=np.linspace(1e-4, 0.09, 20).tolist(), n_mels=80)
+    torch.manual_seed(7)
+    cmnd = CdiffuseTorch(None, pnd)
+    wptnd = tmp_path / "weights_nondefault.pt"
+    torch.save({"step": 7, "model": cmnd.state_dict(), "optimizer": {},
+                "params": dict(pnd), "scaler": {}}, wptnd)
+    outnd = tmp_path / "conv_cdiffuse_nondefault"
+    assert cc.main([str(wptnd), str(outnd)]) == 0
+    assert (outnd / "params.json").exists()
+    modelnd, _ = cdiffuse_inference.load_model(str(outnd))
+    assert modelnd.dilation_cycle_length == 3
+    assert modelnd.num_steps == 20
+    noisy = 0.1 * np.random.default_rng(10).standard_normal(2048)
+    # non-fast sampling runs the TRAINING schedule — all 20 saved steps
+    est = cdiffuse_inference.predict(noisy.astype(np.float32), str(outnd))
+    assert est.shape == noisy.shape
+    assert np.isfinite(est).all()
 
     # a reference-DEFAULT mel checkpoint (cdiffuse/params.py n_mels=80)
     # must SERVE end-to-end: predict() builds the matching-width mel

@@ -43,6 +43,11 @@ def test_inference_schedule_full_and_fast():
     assert np.all(np.diff(fast.T) > 0)  # monotone fractional timestep map
     assert np.all(np.isfinite(fast.c1)) and np.all(np.isfinite(fast.c2))
 
+    # out-of-domain schedule (too little total noise: final alpha_cum
+    # >= 0.5 clamps delta to 0) must raise, not emit NaN audio later
+    with pytest.raises(ValueError, match="alpha_cum"):
+        inference_schedule(np.linspace(1e-4, 0.05, 20))
+
 
 def test_sample_waveform_runs(rng):
     model = DiffuSE(residual_layers=2, residual_channels=32, n_specs=201)
